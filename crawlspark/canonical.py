@@ -1,0 +1,256 @@
+"""RFC-3986 URL canonicalization + xxhash64 keying.
+
+This is the engine analog of the reference's dedup identity: the reference
+dedups datasets by their opaque ``dataset_id``
+(/root/reference/src/storage/surrogate_key.rs:24-34); a web-scale frontier
+dedups by *canonical URL*, so equivalent spellings
+(``HTTP://Host.example:443/a/../b#frag`` vs ``http://host.example/b``) collapse
+to one seen-set entry (north_rule).
+
+Two implementations that agree by construction:
+
+* ``canonicalize_expr(col)`` — a pure Spark SQL expression (JVM-side,
+  whole-stage-codegen; no Python in the hot path), built from split/transform/
+  regexp_replace passes.
+* ``canonicalize_py(url)``  — the same algorithm in Python, used by the
+  sequential oracle simulator (tests/oracle_sim.py).
+
+Both run the same pass list:
+  1. trim; strip fragment
+  2. percent-normalization: uppercase hex; decode unreserved [A-Za-z0-9._~-]
+  3. scheme + authority lowercased; default ports (:80 http, :443 https) removed
+  4. empty path → "/"; dot-segment removal via N bounded left-to-right regex
+     passes (identical regexes and pass order on both sides)
+
+Scale note: the whole canonicalizer is one Catalyst projection — it pushes
+through shuffles for free and costs no Python serialization at 10^10 URLs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# bounded dot-segment passes; path depth beyond this is not normalized further
+# (deterministic on both sides, so crawl order/seen set still agree exactly)
+DOT_PASSES = 12
+
+_UNRESERVED = "^[A-Za-z0-9._~-]$"
+_HEX2 = "^[0-9A-Fa-f]{2}"
+
+# one dot-segment pass = these regexes applied in order, replace-all,
+# left-to-right non-overlapping (same semantics in Java and Python `re`)
+_DOT_RULES: list[tuple[str, str]] = [
+    (r"/\./", "/"),                      # /./  -> /
+    (r"/\.$", "/"),                      # trailing /.
+    (r"/(?!\.\./)[^/]+/\.\./", "/"),     # /seg/../ -> /
+    (r"/(?!\.\.$)[^/]+/\.\.$", "/"),     # trailing /seg/..
+    (r"^/\.\.(?=/)", ""),                # leading /.. swallowed at root
+    (r"^/\.\.$", "/"),
+]
+
+
+# ---------------------------------------------------------------------------
+# Spark expression
+# ---------------------------------------------------------------------------
+
+def _percent_normalize_expr(url: Column) -> Column:
+    parts = F.split(url, "%", -1)
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def norm_piece(p: Column) -> Column:
+        hex2 = F.upper(F.substring(p, 1, 2))
+        rest = F.substr(p, F.lit(3), F.length(p))
+        ch = F.decode(F.unhex(hex2), "UTF-8")
+        is_hex = p.rlike(_HEX2)
+        return (
+            F.when(is_hex & ch.rlike(_UNRESERVED), F.concat(ch, rest))
+            .when(is_hex, F.concat(F.lit("%"), hex2, rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    return F.concat(head, F.array_join(F.transform(tail, norm_piece), ""))
+
+
+def _remove_dot_segments_expr(path: Column) -> Column:
+    for _ in range(DOT_PASSES):
+        for pat, rep in _DOT_RULES:
+            path = F.regexp_replace(path, pat, rep)
+    return path
+
+
+def canonicalize_expr(url: Column) -> Column:
+    """Canonical form of a URL column — pure Spark SQL, no UDF."""
+    u = F.trim(url)
+    u = F.substring_index(u, "#", 1)              # strip fragment
+    u = _percent_normalize_expr(u)
+
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    authority = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    pathq = F.substr(rest, F.length(authority) + 1, F.length(rest))
+
+    authority = F.when(scheme == "http", F.regexp_replace(authority, ":80$", "")).otherwise(authority)
+    authority = F.when(scheme == "https", F.regexp_replace(authority, ":443$", "")).otherwise(authority)
+
+    path = F.substring_index(pathq, "?", 1)
+    query = F.substr(pathq, F.length(path) + 1, F.length(pathq))  # '' or '?...'
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = _remove_dot_segments_expr(path)
+
+    has_scheme = u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    canon = F.concat(scheme, F.lit("://"), authority, path, query)
+    return F.when(has_scheme, canon).otherwise(u)
+
+
+def url_hash_expr(canonical_url: Column) -> Column:
+    """xxhash64 key of a canonical URL (JVM-side, same fn used for salting)."""
+    return F.xxhash64(canonical_url)
+
+
+def host_expr(canonical_url: Column) -> Column:
+    """Host (incl. non-default port) of a canonical URL."""
+    return F.regexp_extract(canonical_url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)", 1)
+
+
+# ---------------------------------------------------------------------------
+# Python mirror (oracle side)
+# ---------------------------------------------------------------------------
+
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://")
+
+
+def _percent_normalize_py(url: str) -> str:
+    parts = url.split("%")
+    out = [parts[0]]
+    for p in parts[1:]:
+        if re.match(_HEX2, p):
+            hex2 = p[:2].upper()
+            rest = p[2:]
+            ch = bytes.fromhex(hex2).decode("utf-8", errors="replace")
+            if re.match(_UNRESERVED, ch):
+                out.append(ch + rest)
+            else:
+                out.append("%" + hex2 + rest)
+        else:
+            out.append("%" + p)
+    return "".join(out)
+
+
+def _remove_dot_segments_py(path: str) -> str:
+    for _ in range(DOT_PASSES):
+        for pat, rep in _DOT_RULES:
+            path = re.sub(pat, rep, path)
+    return path
+
+
+def canonicalize_py(url: str) -> str:
+    u = url.strip(" ")  # F.trim strips spaces only — mirror exactly
+    u = u.split("#", 1)[0]
+    u = _percent_normalize_py(u)
+
+    m = _SCHEME_RE.match(u)
+    if not m:
+        return u
+    scheme = m.group(1).lower()
+    rest = u[m.end():]
+    am = re.match(r"^([^/?]*)", rest)
+    authority = am.group(1).lower()
+    pathq = rest[len(am.group(1)):]
+
+    if scheme == "http":
+        authority = re.sub(r":80$", "", authority)
+    elif scheme == "https":
+        authority = re.sub(r":443$", "", authority)
+
+    path = pathq.split("?", 1)[0]
+    query = pathq[len(path):]
+    if path == "":
+        path = "/"
+    path = _remove_dot_segments_py(path)
+    return f"{scheme}://{authority}{path}{query}"
+
+
+def host_py(canonical_url: str) -> str:
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)", canonical_url)
+    return m.group(1) if m else ""
+
+
+def xxhash64_py(s: str, seed: int = 42) -> int:
+    """Pure-Python xxhash64 matching Spark's ``F.xxhash64`` on a single string
+    column (Spark hashes the UTF-8 bytes with seed 42 by default).
+
+    Implementation of the public XXH64 algorithm (Yann Collet, BSD), kept here
+    so the oracle simulator can reproduce engine keys without a JVM.
+    """
+    data = s.encode("utf-8")
+    P1 = 0x9E3779B185EBCA87
+    P2 = 0xC2B2AE3D27D4EB4F
+    P3 = 0x165667B19E3779F9
+    P4 = 0x85EBCA77C2B2AE63
+    P5 = 0x27D4EB2F165667C5
+    MASK = 0xFFFFFFFFFFFFFFFF
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & MASK
+
+    n = len(data)
+    idx = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & MASK
+        v2 = (seed + P2) & MASK
+        v3 = seed & MASK
+        v4 = (seed - P1) & MASK
+        while idx <= n - 32:
+            for vi in range(4):
+                lane = int.from_bytes(data[idx:idx + 8], "little")
+                idx += 8
+                v = (v1, v2, v3, v4)[vi]
+                v = (v + lane * P2) & MASK
+                v = rotl(v, 31)
+                v = (v * P1) & MASK
+                if vi == 0:
+                    v1 = v
+                elif vi == 1:
+                    v2 = v
+                elif vi == 2:
+                    v3 = v
+                else:
+                    v4 = v
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & MASK
+        for v in (v1, v2, v3, v4):
+            v = (v * P2) & MASK
+            v = rotl(v, 31)
+            v = (v * P1) & MASK
+            h ^= v
+            h = (h * P1 + P4) & MASK
+    else:
+        h = (seed + P5) & MASK
+    h = (h + n) & MASK
+    while idx <= n - 8:
+        lane = int.from_bytes(data[idx:idx + 8], "little")
+        idx += 8
+        k = (lane * P2) & MASK
+        k = rotl(k, 31)
+        k = (k * P1) & MASK
+        h ^= k
+        h = (rotl(h, 27) * P1 + P4) & MASK
+    if idx <= n - 4:
+        lane = int.from_bytes(data[idx:idx + 4], "little")
+        idx += 4
+        h ^= (lane * P1) & MASK
+        h = (rotl(h, 23) * P2 + P3) & MASK
+    while idx < n:
+        h ^= (data[idx] * P5) & MASK
+        h = (rotl(h, 11) * P1) & MASK
+        idx += 1
+    h ^= h >> 33
+    h = (h * P2) & MASK
+    h ^= h >> 29
+    h = (h * P3) & MASK
+    h ^= h >> 32
+    # Spark returns a signed long
+    return h - (1 << 64) if h >= (1 << 63) else h

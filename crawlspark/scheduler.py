@@ -1,0 +1,407 @@
+"""The crawl round loop — the engine's scheduler.
+
+Reference semantics re-expressed as batch fetch rounds (north_rule):
+
+* the reference crawls the seed list strictly sequentially, one dataset at a
+  time (/root/reference/src/main.rs:154-267) — "politeness by construction";
+  the engine makes politeness explicit: per-host budget-k selection per round.
+* fetch failure → recovery copy → else skip (/root/reference/src/main.rs:182-203)
+  becomes: pages join → cache join → bounded retry re-enqueue → failed.
+* dedup by first-seen id (/root/reference/src/storage/surrogate_key.rs:24-34)
+  becomes the canonical-URL seen set (seen.py) with dense first-seen keys.
+* per-item error tolerance + counters (/root/reference/src/main.rs:224-266,
+  post_to_slack.py:14-27) become the metrics + lineage tables.
+* temp→final atomic publish (/root/reference/src/storage/database_sink.rs:258-284)
+  becomes the per-round warehouse snapshot commit (warehouse.py) — which also
+  gives exact resume.
+
+Deterministic round semantics (the contract shared with tests/oracle_sim.py —
+every rule below is implemented twice and asserted equal):
+
+  round r over frontier rows (url, host, priority, warc_ts, provider, retries):
+    1. canonicalize url → curl, url_hash = xxhash64(curl), chost, path
+    2. robots: any disallow prefix of path ⇒ 'blocked' (dropped permanently)
+    3. curl in seen ⇒ 'dup_seen'; later duplicate within batch ⇒ 'dup_batch'
+       (first = min by (priority, warc_ts, url)); both dropped permanently
+    4. politeness: per chost order by (priority, warc_ts, curl, url), keep
+       max_per_round (robots, default settings.crawl.default_host_budget);
+       rest ⇒ deferred (stays in frontier)
+    5. crawl order = (chost, priority, warc_ts, curl) over the selected set →
+       seq 1..k (global within round); chost compared as a string
+    6. fetch: pages hit ⇒ fetched; else cache hit ⇒ fetched (recovered);
+       else retries < max_retries ⇒ retried (re-enqueued, retries+1)
+       else failed (dropped)
+    7. surrogate keys: dense, continuing from the seen max, over fetched rows
+       in crawl order; seen += fetched
+    8. metrics: counters per round; crawl_log: (round, seq, curl, fetched)
+    9. frontier' = deferred ∪ retried
+
+Scale notes:
+* exact per-host top-k is computed in two phases — a salted local top-k per
+  (host, pmod(url_hash, S)) cuts each host's candidates to ≤ budget*S rows
+  BEFORE the exact per-host window, so the skewed host (~20% of the frontier)
+  never passes through one task whole. Both phases are filters on eligible
+  rows only, so the result is exactly the unsalted top-k.
+* the only driver-side loop is over rounds; everything inside a round is
+  DataFrame ops with one mapInPandas (extraction) and one optional vectorized
+  Bloom probe. Counters are computed with one aggregate per cached branch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import schemas
+from .canonical import canonicalize_expr, host_expr, url_hash_expr
+from .extract import extract_pages, split_dataset_units
+from .fields import AbcdFields
+from .seen import PartitionedBloom, dense_rank_two_level, split_new_vs_seen
+from .settings import Settings
+from .warehouse import Warehouse
+
+ORDER = ["priority", "warc_ts", "curl", "url"]  # the canonical tie-break chain
+FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
+
+
+def enrich(df: DataFrame) -> DataFrame:
+    """Add canonical columns to raw frontier/pages rows."""
+    return (
+        df.withColumn("curl", canonicalize_expr(F.col("url")))
+        .withColumn("url_hash", url_hash_expr(F.col("curl")))
+        .withColumn("chost", host_expr(F.col("curl")))
+        .withColumn("path", F.regexp_extract(F.col("curl"), r"^[^:]+://[^/?]*(/[^?]*)", 1))
+    )
+
+
+def build_pages_index(pages: DataFrame) -> DataFrame:
+    """Canonical fetchable-pages index, one row per canonical url (first by
+    warc_ts, url). At cluster scale this is a bucketed Iceberg table keyed by
+    url_hash (the fetch join is then co-located); locally a parquet snapshot
+    with the same layout."""
+    p = enrich(pages.select("url", "warc_ts", "html"))
+    w = Window.partitionBy("url_hash").orderBy(F.col("warc_ts").asc(), F.col("url").asc())
+    return (
+        p.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url_hash", F.col("curl").alias("page_curl"), "html")
+    )
+
+
+@dataclass
+class RoundResult:
+    round: int
+    fetched: int
+    deduped: int
+    robots_blocked: int
+    retried: int
+    failed: int
+    new_urls: int
+    datasets: int
+    units: int
+    frontier_left: int
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        settings: Settings,
+        warehouse: Warehouse,
+        fields: AbcdFields,
+        pages: DataFrame,
+        robots: DataFrame,
+        frontier_seed: DataFrame,
+        cache: DataFrame | None = None,
+        landing_base_url: str = "https://landing.example/landingpage.php",
+    ):
+        self.spark = spark
+        self.settings = settings
+        self.wh = warehouse
+        self.fields = fields
+        self.landing_base_url = landing_base_url
+
+        self.pages_idx = build_pages_index(pages)
+        self.cache_idx = build_pages_index(cache) if cache is not None else None
+        self.robots = robots
+
+        # one-time dimension: the (name, hash) translation table
+        # (src/storage/database_sink.rs:104-125)
+        self.wh.write_once(
+            "translation",
+            spark.createDataFrame(fields.translation_rows(), ["name", "hash"]),
+        )
+
+        self._seed = frontier_seed
+
+    # ------------------------------------------------------------------
+    def _new_bloom(self) -> PartitionedBloom:
+        c = self.settings.crawl
+        return PartitionedBloom(c.bloom_bits, c.bloom_hashes, c.seen_buckets)
+
+    def _load_state(self):
+        """(frontier, seen, bloom, next_key, next_round) from the last commit."""
+        last = self.wh.last_round()
+        if last < 0:
+            frontier = self._apply_debug_window(self._seed)
+            seen = self.spark.createDataFrame([], schemas.SEEN)
+            return frontier, seen, self._new_bloom(), 1, 0
+        frontier = self.wh.read_state(self.spark, "frontier", schemas.FRONTIER)
+        seen = self.wh.read_state(self.spark, "seen", schemas.SEEN)
+        bloom = self._new_bloom()
+        if self.wh.has_table("bloom"):
+            rows = self.wh.read_state(self.spark, "bloom").collect()
+            if rows:
+                bloom = PartitionedBloom.from_rows(
+                    [(r["bucket"], r["bitmap"], r["bits"], r["k"], r["n_buckets"]) for r in rows]
+                )
+        mx = seen.agg(F.max("surrogate_key").alias("m")).collect()[0]["m"]
+        return frontier, seen, bloom, (mx or 0) + 1, last + 1
+
+    def _apply_debug_window(self, seed: DataFrame) -> DataFrame:
+        """The reference's skip/take debug window over the seed list
+        (src/main.rs:154-169, src/settings.rs:56-60), deterministic via
+        row_number over the canonical seed order."""
+        s = self.settings
+        if not s.general.debug:
+            return seed
+        start = s.debug.dataset_start or 0
+        limit = s.debug.dataset_limit
+        w = Window.orderBy(
+            F.col("priority").asc(), F.col("warc_ts").asc(), F.col("url").asc()
+        )
+        out = seed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > start)
+        if limit is not None:
+            out = out.filter(F.col("_rn") <= start + limit)
+        return out.drop("_rn")
+
+    # ------------------------------------------------------------------
+    def run(self, max_rounds: int | None = None) -> list[RoundResult]:
+        """Crawl until the frontier drains (or max_rounds). Resumable: picks up
+        from the last committed round."""
+        max_rounds = max_rounds or self.settings.crawl.max_rounds
+        frontier, seen, bloom, next_key, round_ = self._load_state()
+        results: list[RoundResult] = []
+        for _ in range(max_rounds):
+            if frontier.isEmpty():
+                break
+            rr, frontier, seen, bloom, next_key = self.run_round(
+                round_, frontier, seen, bloom, next_key
+            )
+            results.append(rr)
+            round_ += 1
+        return results
+
+    # ------------------------------------------------------------------
+    def run_round(
+        self,
+        round_: int,
+        frontier: DataFrame,
+        seen: DataFrame,
+        bloom: PartitionedBloom,
+        next_key: int,
+    ) -> tuple[RoundResult, DataFrame, DataFrame, PartitionedBloom, int]:
+        s = self.settings.crawl
+        sp = self.spark
+
+        base = enrich(frontier)
+
+        # 2. robots (broadcast dim): prefix match on the canonical path
+        rb = self.robots.select("host", "disallow_prefixes", "max_per_round")
+        base = base.join(F.broadcast(rb), base["chost"] == rb["host"], "left").drop(
+            rb["host"]
+        )
+        base = base.withColumn(
+            "blocked",
+            F.coalesce(
+                F.exists("disallow_prefixes", lambda p: F.col("path").startswith(p)),
+                F.lit(False),
+            ),
+        )
+
+        # 3. seen-set membership (bloom-routed exact confirm, seen.py)
+        base = split_new_vs_seen(base, seen, bloom)
+
+        # in-batch duplicate canonicals — blocked/is_seen are functions of curl,
+        # so every row of a curl-partition shares them and the window may run
+        # over the full partition
+        w_dup = Window.partitionBy("curl").orderBy(*[F.col(c).asc() for c in ORDER])
+        base = base.withColumn("dup_rn", F.row_number().over(w_dup)).persist()
+
+        budget = F.coalesce(F.col("max_per_round"), F.lit(s.default_host_budget))
+
+        # one aggregate for the drop counters
+        drop_counts = base.agg(
+            F.sum(F.when(F.col("blocked"), 1).otherwise(0)).alias("blocked"),
+            F.sum(F.when(~F.col("blocked") & F.col("is_seen"), 1).otherwise(0)).alias("dup_seen"),
+            F.sum(
+                F.when(~F.col("blocked") & ~F.col("is_seen") & (F.col("dup_rn") > 1), 1).otherwise(0)
+            ).alias("dup_batch"),
+        ).collect()[0]
+        n_blocked = drop_counts["blocked"] or 0
+        n_dedup = (drop_counts["dup_seen"] or 0) + (drop_counts["dup_batch"] or 0)
+
+        # 4. politeness: two-phase exact per-host top-k over ELIGIBLE rows only
+        #    (windows must see only eligible rows — a masked row_number would
+        #    still count ineligible partition members)
+        elig = base.filter(~F.col("blocked") & ~F.col("is_seen") & (F.col("dup_rn") == 1))
+        salt_n = s.salt_partitions or int(sp.conf.get("spark.sql.shuffle.partitions"))
+        w_salt = Window.partitionBy(
+            "chost", F.pmod(F.col("url_hash"), F.lit(salt_n))
+        ).orderBy(*[F.col(c).asc() for c in ORDER])
+        elig = elig.withColumn("salt_rn", F.row_number().over(w_salt)).persist()
+
+        # salt losers can never be in the exact host top-k (each salt keeps its
+        # own top-budget) — they defer without touching the host-level window
+        defer_salt = elig.filter(F.col("salt_rn") > budget)
+        cand = elig.filter(F.col("salt_rn") <= budget)
+        w_host = Window.partitionBy("chost").orderBy(*[F.col(c).asc() for c in ORDER])
+        cand = cand.withColumn("host_rn", F.row_number().over(w_host)).persist()
+        defer_host = cand.filter(F.col("host_rn") > budget)
+        selected = cand.filter(F.col("host_rn") <= budget)
+
+        # 6. fetch: pages join, then cache fallback (src/main.rs:182-203)
+        fetchable = selected.join(self.pages_idx.drop("page_curl"), "url_hash", "left")
+        if self.cache_idx is not None:
+            ci = self.cache_idx.select("url_hash", F.col("html").alias("cache_html"))
+            fetchable = fetchable.join(ci, "url_hash", "left").withColumn(
+                "html", F.coalesce(F.col("html"), F.col("cache_html"))
+            ).drop("cache_html")
+        statused = fetchable.withColumn(
+            "disposition",
+            F.when(F.col("html").isNotNull(), "fetched")
+            .when(F.col("retries") < F.lit(s.max_retries), "retried")
+            .otherwise("failed"),
+        ).persist()
+
+        c1 = {r["disposition"]: r["count"] for r in statused.groupBy("disposition").count().collect()}
+        n_fetched = c1.get("fetched", 0)
+        n_retried = c1.get("retried", 0)
+        n_failed = c1.get("failed", 0)
+
+        # 5. crawl order seq + 7. dense surrogate keys (two-level numbering)
+        seq_df = dense_rank_two_level(
+            statused.select("curl", "chost", "priority", "warc_ts", "url",
+                            (F.col("disposition") == "fetched").alias("is_fetched")),
+            "chost",
+            ["priority", "warc_ts", "curl"],
+            out_col="seq",
+        )
+        crawl_log = seq_df.select(
+            F.lit(round_).alias("round"),
+            "seq",
+            F.col("curl").alias("url"),
+            F.col("chost").alias("host"),
+            F.col("is_fetched").alias("fetched"),
+        )
+
+        fetched = statused.filter(F.col("disposition") == "fetched")
+        keyed = dense_rank_two_level(
+            fetched.select("curl", "url_hash", "chost", "priority", "warc_ts", "url"),
+            "chost",
+            ["priority", "warc_ts", "curl"],
+            out_col="surrogate_key",
+            offset=next_key - 1,
+        )
+        new_seen = keyed.select(
+            F.col("curl").alias("url"), "url_hash", "surrogate_key",
+            F.lit(round_).alias("first_round"),
+        )
+
+        # 8. extraction — the one Python crossing
+        extracted = extract_pages(
+            fetched.select(F.col("curl").alias("url"), "html", "provider"),
+            self.fields,
+            self.settings.abcd.landing_page_field,
+            self.landing_base_url,
+        ).persist()
+        ex_counts = extracted.agg(
+            F.sum(F.when(F.col("kind") == "dataset", 1).otherwise(0)).alias("d"),
+            F.sum(F.when(F.col("kind") == "unit", 1).otherwise(0)).alias("u"),
+        ).collect()[0]
+        n_datasets = ex_counts["d"] or 0
+        n_units = ex_counts["u"] or 0
+
+        datasets, units = split_dataset_units(extracted, self.fields)
+        key_map = new_seen.select("url", "surrogate_key")
+        datasets = datasets.join(key_map, "url", "left")
+        units = units.join(key_map, "url", "left")
+
+        metrics = sp.createDataFrame(
+            [(round_, n_fetched, n_dedup, n_blocked, n_retried, n_failed,
+              n_fetched, n_datasets, n_units)],
+            schemas.METRICS,
+        )
+
+        # per-partition lineage of the fetch stage (north_rule counters+lineage)
+        lineage = (
+            statused.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count()
+            .select(
+                F.lit(round_).alias("round"),
+                F.lit("fetch").alias("stage"),
+                "partition_id",
+                F.col("count").alias("rows"),
+            )
+        )
+
+        # 9. next frontier state
+        deferred = defer_salt.select(*FRONTIER_COLS).unionByName(
+            defer_host.select(*FRONTIER_COLS)
+        )
+        retried_rows = (
+            statused.filter(F.col("disposition") == "retried")
+            .withColumn("retries", F.col("retries") + 1)
+            .select(*FRONTIER_COLS)
+        )
+        new_frontier = deferred.unionByName(retried_rows)
+        new_seen_all = seen.unionByName(new_seen)
+
+        # update bloom with this round's new hashes (driver-side at local
+        # scale; per-bucket distributed build at 10^10 — see seen.py)
+        new_hashes = np.array(
+            [r["url_hash"] for r in new_seen.select("url_hash").collect()], dtype=np.int64
+        )
+        bloom.add(new_hashes)
+        bloom_df = sp.createDataFrame(
+            bloom.to_rows(), ["bucket", "bitmap", "bits", "k", "n_buckets"]
+        )
+
+        self.wh.commit_round(
+            round_,
+            snapshots={"frontier": new_frontier, "seen": new_seen_all, "bloom": bloom_df},
+            appends={
+                "crawl_log": crawl_log,
+                "metrics": metrics,
+                "lineage": lineage,
+                "datasets": datasets,
+                "units": units,
+            },
+        )
+
+        n_deferred = deferred.count()
+        for df in (base, elig, cand, statused, extracted):
+            df.unpersist()
+
+        # re-read committed state so the next round's plan starts from files,
+        # not from an ever-growing lineage
+        frontier2 = self.wh.read_state(sp, "frontier", schemas.FRONTIER)
+        seen2 = self.wh.read_state(sp, "seen", schemas.SEEN)
+
+        rr = RoundResult(
+            round=round_,
+            fetched=n_fetched,
+            deduped=n_dedup,
+            robots_blocked=n_blocked,
+            retried=n_retried,
+            failed=n_failed,
+            new_urls=n_fetched,
+            datasets=n_datasets,
+            units=n_units,
+            frontier_left=n_deferred + n_retried,
+        )
+        return rr, frontier2, seen2, bloom, next_key + n_fetched

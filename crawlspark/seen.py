@@ -1,0 +1,189 @@
+"""URL-seen set: Bloom prefilter + exact anti-join + dense surrogate keys.
+
+Reference semantics being scaled out:
+
+* ``SurrogateKey::for_id`` — first-seen-wins dense keys 1,2,3… in arrival
+  order (/root/reference/src/storage/surrogate_key.rs:24-34), consulted per
+  insert (/root/reference/src/storage/database_sink.rs:561-579).
+
+Engine design (north_rule):
+
+* identity = xxhash64(canonical url), canonicalization in canonical.py.
+* exactness — the Bloom filter may only *route*, never *drop*: hashes the
+  Bloom reports as possibly-seen are confirmed by an exact anti-join against
+  the seen table; hashes it reports as definitely-new skip that join entirely.
+  The final seen set is therefore exactly the reference's (BASELINE.json:2).
+* the Bloom filter is *partitioned* by hash range (``pmod(url_hash, buckets)``)
+  so at 10^10 URLs each executor touches only its bucket's bitmap; in local
+  mode the bucket arrays travel in one broadcast.
+* dense key assignment avoids a global single-partition sort: per-host
+  row_number + host-offset cumulative sum (the host-count table is tiny), so
+  the only global ordering work is over n_hosts rows, not n_urls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic second hash derived from xxhash64 (public splitmix64)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return x ^ (x >> np.uint64(31))
+
+
+class PartitionedBloom:
+    """Hash-range-partitioned Bloom filter over xxhash64 keys.
+
+    k probe positions per key: (h1 + i*h2) mod bits, h2 = splitmix64(h1).
+    Serialized as one (bucket, bitmap bytes) row per bucket.
+    """
+
+    def __init__(self, bits_per_bucket: int, n_hashes: int, n_buckets: int,
+                 bitmaps: dict[int, np.ndarray] | None = None):
+        self.bits = bits_per_bucket
+        self.k = n_hashes
+        self.n_buckets = n_buckets
+        self.bitmaps = bitmaps or {}
+
+    def _bitmap(self, bucket: int) -> np.ndarray:
+        bm = self.bitmaps.get(bucket)
+        if bm is None:
+            bm = np.zeros(self.bits // 8 + 1, dtype=np.uint8)
+            self.bitmaps[bucket] = bm
+        return bm
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        h1 = hashes.astype(np.int64).view(np.uint64)
+        h2 = _splitmix64(h1) | np.uint64(1)
+        ks = np.arange(self.k, dtype=np.uint64)
+        return ((h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.bits)).astype(np.int64)
+
+    def add(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        buckets = (hashes.astype(np.int64).view(np.uint64) % np.uint64(self.n_buckets)).astype(np.int64)
+        pos = self._positions(hashes)
+        for b in np.unique(buckets):
+            bm = self._bitmap(int(b))
+            p = pos[buckets == b].ravel()
+            np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
+
+    def might_contain(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        buckets = (hashes.astype(np.int64).view(np.uint64) % np.uint64(self.n_buckets)).astype(np.int64)
+        pos = self._positions(hashes)
+        out = np.ones(len(hashes), dtype=bool)
+        for b in np.unique(buckets):
+            sel = buckets == b
+            bm = self.bitmaps.get(int(b))
+            if bm is None:
+                out[sel] = False
+                continue
+            p = pos[sel]
+            bits = (bm[p >> 3] >> (p & 7)) & 1
+            out[sel] = bits.all(axis=1)
+        return out
+
+    # -- (de)serialization to a tiny DataFrame-backed table -----------------
+    def to_rows(self) -> list[tuple[int, bytes, int, int, int]]:
+        return [
+            (b, bm.tobytes(), self.bits, self.k, self.n_buckets)
+            for b, bm in sorted(self.bitmaps.items())
+        ]
+
+    @classmethod
+    def from_rows(cls, rows) -> "PartitionedBloom":
+        bitmaps = {}
+        bits = k = nb = None
+        for b, blob, bits, k, nb in rows:
+            bitmaps[int(b)] = np.frombuffer(bytes(blob), dtype=np.uint8).copy()
+        if bits is None:
+            raise ValueError("empty bloom rows")
+        return cls(bits, k, nb, bitmaps)
+
+
+def bloom_filter_column(bloom: PartitionedBloom | None, hash_col: str):
+    """Vectorized (Arrow-batched) Bloom probe as a BooleanType pandas UDF.
+
+    Returns a Column: true = *possibly* seen (must exact-confirm),
+    false = definitely new (skips the anti-join).  When no filter exists yet,
+    everything is "possibly seen" (falls back to the exact join).
+    """
+    if bloom is None or not bloom.bitmaps:
+        return F.lit(True)
+    payload = bloom.to_rows()
+
+    @F.pandas_udf(BooleanType())
+    def probe(h: pd.Series) -> pd.Series:
+        bl = PartitionedBloom.from_rows(payload)
+        return pd.Series(bl.might_contain(h.to_numpy(dtype=np.int64)))
+
+    return probe(F.col(hash_col))
+
+
+def split_new_vs_seen(
+    batch: DataFrame,
+    seen: DataFrame,
+    bloom: PartitionedBloom | None,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Adds ``is_seen`` boolean: exact membership of batch[hash_col] in seen.
+
+    Bloom-negative rows bypass the join (provably new); bloom-positive rows are
+    confirmed with a left-semi/anti join pair expressed as a left join on the
+    deduplicated seen keys — one shuffle over only the candidate subset.
+    """
+    maybe = batch.withColumn("_maybe", bloom_filter_column(bloom, hash_col))
+    seen_keys = seen.select(F.col(hash_col).alias("_seen_hash")).distinct()
+    joined = maybe.join(
+        seen_keys,
+        (F.col("_maybe")) & (F.col(hash_col) == F.col("_seen_hash")),
+        "left",
+    )
+    return joined.withColumn("is_seen", F.col("_seen_hash").isNotNull()).drop(
+        "_maybe", "_seen_hash"
+    )
+
+
+def dense_rank_two_level(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    out_col: str = "seq",
+    offset: int = 0,
+) -> DataFrame:
+    """Dense 1-based global numbering by (part_col, *order_cols) without a
+    single-partition global sort.
+
+    Global order is (part_col asc, *order_cols asc). Implementation: per-part
+    row_number (parallel) + cumulative part offsets computed over the tiny
+    part-count table. Scale: the only single-partition window runs over
+    n_distinct(part_col) rows (hosts), not n_rows (URLs).
+    """
+    w_part = Window.partitionBy(part_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    numbered = df.withColumn("_rn", F.row_number().over(w_part))
+
+    counts = df.groupBy(part_col).count()
+    w_cum = Window.orderBy(F.col(part_col).asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("count").over(w_cum), F.lit(0))
+    ).select(part_col, "_off")
+
+    return (
+        numbered.join(F.broadcast(offsets), part_col)
+        .withColumn(out_col, (F.col("_rn") + F.col("_off") + F.lit(offset)).cast("long"))
+        .drop("_rn", "_off")
+    )

@@ -1,0 +1,57 @@
+"""Canonicalization: Spark expression ≡ Python mirror; xxhash64_py ≡ Spark."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crawlspark.canonical import canonicalize_expr, canonicalize_py, host_py, xxhash64_py
+from crawlspark import synth
+
+CASES = [
+    ("https://host1.example.org/p/1", "https://host1.example.org/p/1"),
+    ("HTTPS://HOST1.EXAMPLE.ORG/p/1", "https://host1.example.org/p/1"),
+    ("https://host1.example.org:443/p/1", "https://host1.example.org/p/1"),
+    ("http://host1.example.org:80/p/1", "http://host1.example.org/p/1"),
+    ("http://host1.example.org:8080/p/1", "http://host1.example.org:8080/p/1"),
+    ("https://host1.example.org/p/1#frag", "https://host1.example.org/p/1"),
+    ("https://host1.example.org/%70/1", "https://host1.example.org/p/1"),
+    ("https://host1.example.org/a%2Fb", "https://host1.example.org/a%2Fb"),  # %2F stays
+    ("https://host1.example.org/a%2fb", "https://host1.example.org/a%2Fb"),  # hex uppercased
+    ("https://host1.example.org", "https://host1.example.org/"),
+    ("https://host1.example.org?q=1", "https://host1.example.org/?q=1"),
+    ("https://host1.example.org/x/../p/1", "https://host1.example.org/p/1"),
+    ("https://host1.example.org/./p/1", "https://host1.example.org/p/1"),
+    ("https://host1.example.org/a/b/../../p/1", "https://host1.example.org/p/1"),
+    ("https://host1.example.org/..", "https://host1.example.org/"),
+    ("https://host1.example.org/p/1?a=%7E&b=2#f", "https://host1.example.org/p/1?a=~&b=2"),
+    ("  https://host1.example.org/p/1 ", "https://host1.example.org/p/1"),
+    ("not-a-url", "not-a-url"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_canonicalize_py(raw, expected):
+    assert canonicalize_py(raw) == expected
+
+
+def test_spark_matches_python(spark):
+    urls = [c[0] for c in CASES]
+    # plus the synthetic frontier variants
+    urls += [r["url"] for r in synth.frontier_rows(200, 7)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r["c"] for r in df.select(canonicalize_expr(F.col("url")).alias("c")).collect()]
+    want = [canonicalize_py(u) for u in urls]
+    assert got == want
+
+
+def test_xxhash64_matches_spark(spark):
+    urls = [canonicalize_py(c[0]) for c in CASES] + ["", "a", "x" * 100]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r["h"] for r in df.select(F.xxhash64(F.col("url")).alias("h")).collect()]
+    want = [xxhash64_py(u) for u in urls]
+    assert got == want
+
+
+def test_host_py():
+    assert host_py("https://host1.example.org/p/1") == "host1.example.org"
+    assert host_py("http://h:8080/p") == "h:8080"

@@ -1,0 +1,168 @@
+"""Crawl-equivalence + resume tests (SURVEY.md §5d/e).
+
+The engine's round loop must reproduce the pure-Python sequential oracle
+exactly: crawl order, final seen set with dense surrogate keys, per-round
+counters. Then: killing after round k and resuming must produce a
+byte-identical final state (reference analog: the resumable storage-dir
+side-cache + atomic publish, src/main.rs:262-266, database_sink.rs:258-284).
+"""
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crawlspark import schemas, synth
+from crawlspark.fields import AbcdFields
+from crawlspark.scheduler import Crawler
+from crawlspark.settings import Settings
+from crawlspark.warehouse import Warehouse
+
+from oracle_sim import simulate
+
+N_PAGES = 120
+N_HOSTS = 7
+
+
+@pytest.fixture(scope="module")
+def synth_dfs(spark):
+    pages = spark.createDataFrame(
+        [synth.page_row(i, N_HOSTS) for i in range(N_PAGES)], schemas.PAGES
+    )
+    frontier = spark.createDataFrame(synth.frontier_rows(N_PAGES, N_HOSTS), schemas.FRONTIER)
+    robots = spark.createDataFrame(synth.robots_rows(N_HOSTS), schemas.ROBOTS)
+    cache = synth.cache_rows(N_PAGES, N_HOSTS)
+    cache_df = spark.createDataFrame(cache, schemas.PAGES) if cache else None
+    return pages, frontier, robots, cache_df
+
+
+def oracle(settings: Settings):
+    page_urls = {synth.page_url(i, N_HOSTS) for i in range(N_PAGES)}
+    cache_urls = {r["url"] for r in synth.cache_rows(N_PAGES, N_HOSTS)}
+    robots = {r["host"]: r for r in synth.robots_rows(N_HOSTS)}
+    return simulate(
+        synth.frontier_rows(N_PAGES, N_HOSTS),
+        page_urls,
+        robots,
+        cache_urls,
+        default_budget=settings.crawl.default_host_budget,
+        max_retries=settings.crawl.max_retries,
+    )
+
+
+def run_crawler(spark, synth_dfs, wh_dir, max_rounds=None):
+    pages, frontier, robots, cache_df = synth_dfs
+    settings = Settings.new()
+    wh = Warehouse(wh_dir)
+    crawler = Crawler(
+        spark, settings, wh, synth.golden_fields(), pages, robots, frontier, cache_df
+    )
+    results = crawler.run(max_rounds=max_rounds)
+    return settings, wh, results
+
+
+def collect_state(spark, wh: Warehouse):
+    log = [
+        (r["round"], r["seq"], r["url"])
+        for r in wh.read_appends(spark, "crawl_log")
+        .orderBy("round", "seq")
+        .collect()
+    ]
+    seen = {
+        r["url"]: r["surrogate_key"]
+        for r in wh.read_state(spark, "seen", schemas.SEEN).collect()
+    }
+    metrics = {
+        r["round"]: r.asDict()
+        for r in wh.read_appends(spark, "metrics", schemas.METRICS).collect()
+    }
+    return log, seen, metrics
+
+
+def test_crawl_matches_oracle(spark, synth_dfs, tmp_path):
+    settings, wh, results = run_crawler(spark, synth_dfs, tmp_path / "wh")
+    sim = oracle(settings)
+
+    log, seen, metrics = collect_state(spark, wh)
+
+    # exact crawl order equality (BASELINE.json:2)
+    assert log == sim.crawl_order
+
+    # exact seen set + dense first-seen surrogate keys
+    assert seen == sim.seen
+
+    # per-round counters
+    assert len(metrics) == len(sim.metrics)
+    for m in sim.metrics:
+        got = metrics[m["round"]]
+        for k in ("fetched", "deduped", "robots_blocked", "retried", "failed", "new_urls"):
+            assert got[k] == m[k], (m["round"], k, got[k], m[k])
+
+
+def test_extraction_outputs_keyed_and_byte_identical(spark, synth_dfs, tmp_path):
+    settings, wh, _ = run_crawler(spark, synth_dfs, tmp_path / "wh2")
+    units = wh.read_appends(spark, "units")
+    datasets = wh.read_appends(spark, "datasets")
+    # every fetched canonical url produced rows with its surrogate key
+    assert datasets.filter(F.col("surrogate_key").isNull()).count() == 0
+    assert units.filter(F.col("surrogate_key").isNull()).count() == 0
+    # 1:N shape — unit count per dataset url matches the synth template
+    from crawlspark.csvsink import render_unit_rows_expr
+
+    # byte-identical text: re-render units from the committed table
+    ex = wh.read_appends(spark, "units").withColumn("kind", F.lit("unit"))
+    got = {
+        r["url"]: r["text"]
+        for r in render_unit_rows_expr(ex, synth.golden_fields()).collect()
+    }
+    for url in got:
+        i = int(url.rsplit("/", 1)[1])
+        assert got[url] == synth.expected_text(i), url
+
+
+def test_kill_and_resume_exact(spark, synth_dfs, tmp_path):
+    # full run in one go
+    _, wh_full, res_full = run_crawler(spark, synth_dfs, tmp_path / "whA")
+    # killed after 1 round, then resumed (fresh Crawler instance, same warehouse)
+    _, wh_part, res1 = run_crawler(spark, synth_dfs, tmp_path / "whB", max_rounds=1)
+    assert len(res1) == 1
+    _, wh_part, res2 = run_crawler(spark, synth_dfs, tmp_path / "whB")
+
+    a = collect_state(spark, wh_full)
+    b = collect_state(spark, wh_part)
+    assert a[0] == b[0]  # crawl order
+    assert a[1] == b[1]  # seen set + keys
+    assert {r: {k: v for k, v in m.items()} for r, m in a[2].items()} == {
+        r: {k: v for k, v in m.items()} for r, m in b[2].items()
+    }
+    # units/datasets tables identical as multisets
+    ua = sorted(map(tuple, wh_full.read_appends(spark, "units").collect()))
+    ub = sorted(map(tuple, wh_part.read_appends(spark, "units").collect()))
+    assert ua == ub
+
+
+def test_idempotent_recommit(spark, synth_dfs, tmp_path):
+    _, wh, _ = run_crawler(spark, synth_dfs, tmp_path / "whC", max_rounds=1)
+    # re-committing round 0 is a no-op
+    pages, frontier, robots, cache_df = synth_dfs
+    assert (
+        wh.commit_round(0, snapshots={"frontier": frontier.limit(0)}) is False
+    )
+
+
+def test_listing_view(spark, synth_dfs, tmp_path):
+    from crawlspark.listing import dataset_listing
+
+    _, wh, _ = run_crawler(spark, synth_dfs, tmp_path / "whD")
+    f = synth.golden_fields()
+    listing = dataset_listing(
+        wh.read_appends(spark, "datasets"), wh.read_appends(spark, "units"), f
+    )
+    rows = listing.collect()
+    assert len(rows) > 0
+    assert {r["isGeoReferenced"] for r in rows} <= {True, False}
+    geo = [r for r in rows if r["isGeoReferenced"]]
+    assert geo  # synthetic lat/lon present on most units
+    # links: even pages carry an extracted URI, odd pages the proposal
+    assert any(r["link"].startswith("https://landing") for r in rows)
