@@ -1,38 +1,683 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship mini-crawl end-to-end (frontier →
+canonicalize → robots → politeness → fetch join → extraction → seen/keys →
+metrics) over deterministic synthetic pages sized from sf0.001 documents.
+
+``queries()`` exposes one named query per implemented operator family from
+SURVEY.md §2 (S1-S28) plus the training-data ops (dedup / similarity /
+text-analysis / multimodal); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible one. Aggregates use exact decimal arithmetic so
+Spark and DuckDB agree bit-for-bit; float formatting uses printf-style
+rendering available identically on both sides.
 """
 
 from __future__ import annotations
 
+import sys
+import tempfile
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Mini end-to-end crawl over synthetic pages (size from sf0.001 docs);
+    returns the deterministic crawl log (round, seq, url, host, fetched)."""
+    from crawlspark import schemas, synth
+    from crawlspark.scheduler import Crawler
+    from crawlspark.settings import Settings
+    from crawlspark.warehouse import Warehouse
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    n = min(100, docs.count())
+    n_hosts = 7
+    pages = spark.createDataFrame([synth.page_row(i, n_hosts) for i in range(n)], schemas.PAGES)
+    frontier = spark.createDataFrame(synth.frontier_rows(n, n_hosts), schemas.FRONTIER)
+    robots = spark.createDataFrame(synth.robots_rows(n_hosts), schemas.ROBOTS)
+    cache = synth.cache_rows(n, n_hosts)
+    cache_df = spark.createDataFrame(cache, schemas.PAGES) if cache else None
+
+    wh = Warehouse(tempfile.mkdtemp(prefix="crawlspark_entry_"))
+    crawler = Crawler(
+        spark, Settings.new(), wh, synth.golden_fields(), pages, robots, frontier, cache_df
+    )
+    crawler.run()
+    return wh.read_appends(spark, "crawl_log").orderBy("round", "seq")
+
+
+# ---------------------------------------------------------------------------
+# operator queries (S-numbers = SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+def q_s01_filter_pushdown(spark, sf):
+    # S1: source scan with pushed-down predicate
+    return (
+        _t(spark, sf, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .select("event_id", "user_id", "value")
+    )
+
+
+def q_s02_union_distinct(spark, sf):
+    # S2-adjacent frontier union semantics: distinct union
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+def q_s03_nested_projection(spark, sf):
+    # S3: nested-field extraction from JSON payloads
+    return _t(spark, sf, "events").select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_val")
+    )
+
+
+def q_s04_limit_offset(spark, sf):
+    # S4: the debug skip/take window (main.rs:154-169)
+    return (
+        _t(spark, sf, "orders")
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey")
+        .offset(10)
+        .limit(100)
+    )
+
+
+def q_s05_sanitize(spark, sf):
+    # S5: filename sanitization (main.rs:171-179)
+    return _t(spark, sf, "customer").select(
+        "c_custkey", F.regexp_replace("c_name", "[^a-zA-Z-]", "_").alias("sanitized")
+    )
+
+
+def q_s07_coalesce_fallback(spark, sf):
+    # S7: fetch-recovery coalesce across sources (main.rs:182-203)
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(F.col("n_nationkey") < 10)
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left")
+        .select("s_suppkey", F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation_name"))
+    )
+
+
+def q_s11_try_cast(spark, sf):
+    # S11: NULL-on-failure numeric coercion (abcd_parser.rs:110-114)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_cast(concat(cast(l_linenumber as string), '.5') as double)").alias("good_cast"),
+        F.expr("try_cast(l_returnflag as double)").alias("bad_cast"),
+    )
+
+
+def q_s12_landing_coalesce(spark, sf):
+    # S12: landing page = extracted else base?archive=url (abcd_parser.rs:137-150)
+    d = _t(spark, sf, "documents")
+    extracted = F.when(F.col("lang") == "en", F.lit(None).cast("string")).otherwise(
+        F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.coalesce(
+            extracted,
+            F.concat(F.lit("https://landing.example?archive="), F.col("doc_id").cast("string")),
+        ).alias("landing"),
+    )
+
+
+def q_s14_dedup_firstseen(spark, sf):
+    # S14: first-seen-wins dedup (surrogate_key.rs:24-34)
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+def q_s14b_surrogate_keys(spark, sf):
+    # S14: dense surrogate keys in first-seen order
+    e = _t(spark, sf, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    w = Window.orderBy(F.col("first_ts").asc(), F.col("user_id").asc())
+    return firsts.select(
+        "user_id", "first_ts", F.row_number().over(w).cast("long").alias("surrogate_key")
+    )
+
+
+def q_s15_point_wkt(spark, sf):
+    # S15: WKT point construction, NULL unless both present (database_sink.rs:659-679)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 2000)
+    wkt = F.when(
+        F.col("l_discount").isNotNull() & F.col("l_tax").isNotNull(),
+        F.format_string("POINT(%.2f %.2f)", F.col("l_discount"), F.col("l_tax")),
+    )
+    return li.select("l_orderkey", "l_linenumber", wkt.alias("geom_wkt"))
+
+
+def q_s21_topk_sort(spark, sf):
+    # S21: sort + limit (post-load CLUSTER analog is sort-on-write)
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(50)
+    )
+
+
+def q_s22_exists_semijoin(spark, sf):
+    # S22: the listing view's correlated EXISTS as a semi-join flag
+    c = _t(spark, sf, "customer")
+    big = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("_flag", F.lit(True))
+    )
+    return c.join(big, c["c_custkey"] == big["o_custkey"], "left").select(
+        "c_custkey", F.coalesce("_flag", F.lit(False)).alias("has_big_order")
+    )
+
+
+def q_s22b_join3_revenue(spark, sf):
+    # multi-join + exact-decimal aggregation (TPC-H Q3 shape)
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_s23_agg_q1(spark, sf):
+    # S23: aggregation battery (TPC-H Q1 shape, exact decimal sums)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_s24_quarantine(spark, sf):
+    # S24: per-item error tolerance → status classification + counters
+    e = _t(spark, sf, "events")
+    status = (
+        F.when(F.col("value").isNull(), "null")
+        .when(F.col("value") > 90, "outlier")
+        .otherwise("ok")
+    )
+    return e.groupBy("event_type", status.alias("status")).agg(F.count("*").alias("n"))
+
+
+def q_s25_anti_join(spark, sf):
+    # set-op: customers that never ordered (left anti)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select("o_custkey").distinct()
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
+
+
+def q_s26_politeness_topk(spark, sf):
+    # S26: per-host budget-k (politeness) as window top-k per key
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "rk")
+    )
+
+
+def q_s28_counters(spark, sf):
+    # S28: observability counters (post_to_slack.py:14-27 analog)
+    return _t(spark, sf, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_crawl_canonicalize(spark, sf):
+    # the RFC-3986 canonicalizer over synthesized messy urls
+    from crawlspark.canonical import canonicalize_expr
+
+    d = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://HOST"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".EXAMPLE.ORG:443/x/../p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("#frag"),
+    )
+    return d.select("doc_id", canonicalize_expr(raw).alias("canonical_url"))
+
+
+def q_crawl_robots_filter(spark, sf):
+    # robots disallow-prefix filtering on canonical paths
+    d = _t(spark, sf, "documents")
+    path = F.concat(F.lit("/p/"), F.col("doc_id").cast("string"))
+    return d.filter(~path.startswith("/p/9")).select("doc_id", path.alias("path"))
+
+
+def q_extraction_units(spark, sf):
+    # S8+S9: ZIP explode + XML extraction (rows-only; golden bytes in pytest)
+    from crawlspark import synth, schemas
+    from crawlspark.extract import extract_pages
+    from crawlspark.fields import sha1_hex
+
+    rows = [synth.page_row(i, 5) for i in range(40)]
+    df = spark.createDataFrame(
+        [(r["url"], r["html"], "prov") for r in rows], ["url", "html", "provider"]
+    )
+    ex = extract_pages(df, synth.golden_fields(), synth.LANDING_PAGE_FIELD)
+    unit_id = sha1_hex("/DataSets/DataSet/Units/Unit/UnitID")
+    lon = sha1_hex(
+        "/DataSets/DataSet/Units/Unit/Gathering/SiteCoordinateSets/SiteCoordinates/CoordinatesLatLong/LongitudeDecimal"
+    )
+    return ex.filter(F.col("kind") == "unit").select(
+        "url", "member_index", "unit_index", F.col(unit_id).alias("unit_id"), F.col(lon).alias("lon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    from crawlspark.textops import exact_dedup_groups
+
+    d = _t(spark, sf, "documents")
+    # inject deterministic duplicates (testdata has none): every 10th doc twice
+    dups = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return exact_dedup_groups(d.unionByName(dups)).orderBy("keep_doc_id")
+
+
+def q_dedup_minhash(spark, sf):
+    from crawlspark.textops import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    dups = d.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return minhash_lsh_pairs(d.unionByName(dups), jaccard_threshold=0.8).orderBy("a", "b")
+
+
+def q_dedup_simhash(spark, sf):
+    from crawlspark.textops import simhash_near_pairs
+
+    d = _t(spark, sf, "documents")
+    dups = d.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return simhash_near_pairs(d.unionByName(dups), max_hamming=3).orderBy("a", "b")
+
+
+def q_ngram_jaccard(spark, sf):
+    # word-set jaccard of consecutive doc pairs (SQL-expressible)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    a = d.alias("a")
+    b = d.withColumn("doc_id", F.col("doc_id") - 1).alias("b")
+    pairs = a.join(b, "doc_id").select(
+        F.col("doc_id").alias("a_id"),
+        F.array_distinct(F.split(F.col("a.text"), " ")).alias("wa"),
+        F.array_distinct(F.split(F.col("b.text"), " ")).alias("wb"),
+    )
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size(F.array_union("wa", "wb"))
+    return pairs.select(
+        "a_id",
+        inter.alias("n_inter"),
+        union.alias("n_union"),
+        F.round(inter / union, 6).alias("jaccard"),
+    )
+
+
+def q_ann_bruteforce(spark, sf):
+    from crawlspark.textops import ann_bruteforce_topk
+
+    return ann_bruteforce_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_ann_lsh(spark, sf):
+    from crawlspark.textops import ann_lsh_topk
+
+    return ann_lsh_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10, planes=6)
+
+
+def q_embed_neardup(spark, sf):
+    from crawlspark.textops import embedding_near_dup_pairs
+
+    e = _t(spark, sf, "embeddings")
+    dups = e.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return embedding_near_dup_pairs(e.unionByName(dups), threshold=0.999).orderBy("a", "b")
+
+
+def q_lang_id(spark, sf):
+    from crawlspark.textops import lang_id_heuristic
+
+    return lang_id_heuristic(_t(spark, sf, "documents"))
+
+
+def q_quality_score(spark, sf):
+    from crawlspark.textops import quality_score
+
+    return quality_score(_t(spark, sf, "documents"))
+
+
+def q_token_count(spark, sf):
+    from crawlspark.textops import token_count
+
+    return token_count(_t(spark, sf, "documents"))
+
+
+def q_fingerprint(spark, sf):
+    from crawlspark.textops import fingerprint
+
+    return fingerprint(_t(spark, sf, "documents")).select("doc_id", "md5_fp")
+
+
+def q_multimodal_image(spark, sf):
+    from crawlspark.multimodal import decode_image_features, documents_as_binary
+
+    d = documents_as_binary(_t(spark, sf, "documents"))
+    return decode_image_features(d).select("doc_id", "width", "height", "n_bytes", "decoder")
+
+
+def q_multimodal_frames(spark, sf):
+    from crawlspark.multimodal import documents_as_binary, frame_sample
+
+    d = documents_as_binary(_t(spark, sf, "documents").filter(F.col("doc_id") < 50))
+    return frame_sample(d)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s01_filter_pushdown": q_s01_filter_pushdown,
+        "s02_union_distinct": q_s02_union_distinct,
+        "s03_nested_projection": q_s03_nested_projection,
+        "s04_limit_offset": q_s04_limit_offset,
+        "s05_sanitize": q_s05_sanitize,
+        "s07_coalesce_fallback": q_s07_coalesce_fallback,
+        "s11_try_cast": q_s11_try_cast,
+        "s12_landing_coalesce": q_s12_landing_coalesce,
+        "s14_dedup_firstseen": q_s14_dedup_firstseen,
+        "s14b_surrogate_keys": q_s14b_surrogate_keys,
+        "s15_point_wkt": q_s15_point_wkt,
+        "s21_topk_sort": q_s21_topk_sort,
+        "s22_exists_semijoin": q_s22_exists_semijoin,
+        "s22b_join3_revenue": q_s22b_join3_revenue,
+        "s23_agg_q1": q_s23_agg_q1,
+        "s24_quarantine": q_s24_quarantine,
+        "s25_anti_join": q_s25_anti_join,
+        "s26_politeness_topk": q_s26_politeness_topk,
+        "s28_counters": q_s28_counters,
+        "crawl_canonicalize": q_crawl_canonicalize,
+        "crawl_robots_filter": q_crawl_robots_filter,
+        "extraction_units": q_extraction_units,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "embed_neardup": q_embed_neardup,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "multimodal_image": q_multimodal_image,
+        "multimodal_frames": q_multimodal_frames,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+def _lang_id_sql() -> str:
+    from crawlspark.textops import _STOPWORDS
+
+    def cnt(needle: str) -> str:
+        n = needle.replace("'", "''")
+        return (
+            f"cast((length(p) - length(replace(p, ' {n} ', ''))) / {len(needle) + 2} as bigint)"
+        )
+
+    score_exprs = []
+    for lang, words in _STOPWORDS.items():
+        score_exprs.append(" + ".join(cnt(w) for w in words) + f" AS s_{lang}")
+    langs = list(_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{k}" for k in langs) + ")"
+    case = "CASE "
+    for k in langs:
+        case += f"WHEN s_{k} = {best} AND {best} > 0 THEN '{k}' "
+    case += "ELSE 'und' END"
+    cols = ", ".join(f"s_{k}" for k in langs)
+    return f"""
+        SELECT doc_id, {case} AS lang_pred, {cols}
+        FROM (
+          SELECT doc_id, {', '.join(score_exprs)}
+          FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)
+        )
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "s01_filter_pushdown": """
+            SELECT event_id, user_id, value FROM events
+            WHERE event_type = 'purchase' AND value > 50
+        """,
+        "s02_union_distinct": """
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "s03_nested_projection": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
+        """,
+        "s04_limit_offset": """
+            SELECT o_orderkey, o_custkey FROM orders
+            ORDER BY o_orderkey LIMIT 100 OFFSET 10
+        """,
+        "s05_sanitize": """
+            SELECT c_custkey, regexp_replace(c_name, '[^a-zA-Z-]', '_', 'g') AS sanitized
+            FROM customer
+        """,
+        "s07_coalesce_fallback": """
+            SELECT s_suppkey, coalesce(n_name, 'UNKNOWN') AS nation_name
+            FROM supplier LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 10) n
+              ON s_nationkey = n_nationkey
+        """,
+        "s11_try_cast": """
+            SELECT l_orderkey, l_linenumber,
+                   try_cast(cast(l_linenumber AS varchar) || '.5' AS double) AS good_cast,
+                   try_cast(l_returnflag AS double) AS bad_cast
+            FROM lineitem WHERE l_orderkey < 1000
+        """,
+        "s12_landing_coalesce": """
+            SELECT doc_id,
+                   coalesce(CASE WHEN lang = 'en' THEN NULL ELSE source END,
+                            'https://landing.example?archive=' || doc_id) AS landing
+            FROM documents
+        """,
+        "s14_dedup_firstseen": """
+            SELECT user_id, event_id, ts FROM (
+              SELECT user_id, event_id, ts,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "s14b_surrogate_keys": """
+            SELECT user_id, first_ts,
+                   row_number() OVER (ORDER BY first_ts, user_id) AS surrogate_key
+            FROM (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+        """,
+        "s15_point_wkt": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL
+                        THEN printf('POINT(%.2f %.2f)', l_discount, l_tax) END AS geom_wkt
+            FROM lineitem WHERE l_orderkey < 2000
+        """,
+        "s21_topk_sort": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+        """,
+        "s22_exists_semijoin": """
+            SELECT c_custkey,
+                   (c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000))
+                   AS has_big_order
+            FROM customer
+        """,
+        "s22b_join3_revenue": """
+            SELECT o_orderkey,
+                   cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+                            (cast(1 AS decimal(4,2)) - cast(l_discount AS decimal(4,2))))
+                        AS double) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "s23_agg_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   cast(sum(cast(l_quantity AS decimal(12,2))) AS double) AS sum_qty,
+                   cast(sum(cast(l_extendedprice AS decimal(12,2))) AS double) AS sum_base_price,
+                   cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+                            (cast(1 AS decimal(4,2)) - cast(l_discount AS decimal(4,2))))
+                        AS double) AS sum_disc_price,
+                   cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+                            (cast(1 AS decimal(4,2)) - cast(l_discount AS decimal(4,2))) *
+                            (cast(1 AS decimal(4,2)) + cast(l_tax AS decimal(4,2))))
+                        AS double) AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "s24_quarantine": """
+            SELECT event_type,
+                   CASE WHEN value IS NULL THEN 'null'
+                        WHEN value > 90 THEN 'outlier' ELSE 'ok' END AS status,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "s25_anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "s26_politeness_topk": """
+            SELECT user_id, event_id, rk FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+              FROM events
+            ) WHERE rk <= 3
+        """,
+        "s28_counters": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "crawl_canonicalize": """
+            SELECT doc_id,
+                   'https://host' || (doc_id % 7) || '.example.org/p/' || doc_id
+                   AS canonical_url
+            FROM documents
+        """,
+        "crawl_robots_filter": """
+            SELECT doc_id, '/p/' || doc_id AS path FROM documents
+            WHERE NOT starts_with('/p/' || doc_id, '/p/9')
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            )
+            GROUP BY md5(text) HAVING count(*) > 1
+            ORDER BY keep_doc_id
+        """,
+        "ngram_jaccard": """
+            SELECT a.doc_id AS a_id,
+                   len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                      list_distinct(string_split(b.text, ' ')))) AS n_inter,
+                   len(list_distinct(list_concat(string_split(a.text, ' '),
+                                                 string_split(b.text, ' ')))) AS n_union,
+                   round(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                            list_distinct(string_split(b.text, ' ')))) * 1.0 /
+                         len(list_distinct(list_concat(string_split(a.text, ' '),
+                                                       string_split(b.text, ' ')))), 6) AS jaccard
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        """,
+        "ann_bruteforce": """
+            SELECT vec_id, rank FROM (
+              SELECT vec_id,
+                     row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                                  embedding,
+                                  (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                                vec_id ASC) AS rank
+              FROM embeddings WHERE vec_id <> 0
+            ) WHERE rank <= 10
+        """,
+        "lang_id": _lang_id_sql(),
+        "quality_score": """
+            SELECT doc_id,
+                   cast(length(text) AS bigint) AS n_chars_m,
+                   cast(len(string_split(text, ' ')) AS bigint) AS n_words,
+                   round(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS mean_word_len,
+                   cast((length(p) - length(replace(p, ' the ', ''))) / 5
+                        + (length(p) - length(replace(p, ' and ', ''))) / 5
+                        + (length(p) - length(replace(p, ' of ', ''))) / 4 AS bigint)
+                        AS stopword_hits,
+                   round(cast((length(p) - length(replace(p, ' the ', ''))) / 5
+                        + (length(p) - length(replace(p, ' and ', ''))) / 5
+                        + (length(p) - length(replace(p, ' of ', ''))) / 4 AS bigint) * 1.0
+                        / len(string_split(text, ' ')), 6) AS stopword_ratio
+            FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents)
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   cast(len(string_split(text, ' ')) AS bigint) AS ws_tokens,
+                   cast(ceil(length(text) / 4.0) AS bigint) AS bpe_est_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS md5_fp FROM documents
+        """,
+        # rows-only (non-SQL-expressible: xxhash64 sketches, pandas-UDF
+        # extraction, multimodal stubs): dedup_minhash, dedup_simhash,
+        # ann_lsh, embed_neardup, extraction_units, multimodal_*
+    }

@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"urls_per_sec_8": ..., "urls_per_sec_32": ...,
+             "scaling_efficiency": ...}}
+
+Two parts:
+1. Crawl throughput (the BASELINE.json metric "URLs fetched+deduped/sec"):
+   the bulk crawl job over a deterministic synthetic frontier, run in separate
+   subprocesses at local[8] and local[32] on the SAME input (the sandbox proxy
+   for N vs 4N executors — task instructions / BASELINE.md). Results +
+   scaling efficiency are also written to BENCH/BASELINE.md.
+2. Per-query timings of the __spark_entry__.queries() battery at
+   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), executed with a
+   `noop`-format write so the full plan runs without driver collection.
+
+Synthetic crawl input is generated once into BENCH/data_n{N} and reused
+(deterministic: same bytes every run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "400000"))
+N_HOSTS = max(64, N_PAGES // 400)
+BENCH_DIR = REPO / "BENCH"
+DATA_DIR = BENCH_DIR / f"data_n{N_PAGES}"
+SMALL = int(os.environ.get("CRAWLSPARK_BENCH_SMALL_CPUS", "8"))
+
+
+def ensure_data() -> None:
+    if (DATA_DIR / "_DONE").exists():
+        return
+    from crawlspark.session import get_spark
+    from crawlspark.synth import write_spark
+
+    spark = get_spark("bench-gen", master=f"local[{CPUS}]")
+    write_spark(spark, str(DATA_DIR), N_PAGES, N_HOSTS, partitions=CPUS * 4)
+    (DATA_DIR / "_DONE").touch()
+    spark.stop()
+
+
+def crawl_worker(cpus: int) -> None:
+    """Run the bulk crawl at local[cpus]; print one JSON line."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from crawlspark import schemas
+    from crawlspark.scheduler import Crawler
+    from crawlspark.session import get_spark
+    from crawlspark.settings import Settings
+    from crawlspark.synth import golden_fields
+    from crawlspark.warehouse import Warehouse
+
+    spark = get_spark(
+        f"bench-crawl-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+    )
+    pages = spark.read.parquet(str(DATA_DIR / "pages.parquet"))
+    frontier = spark.read.parquet(str(DATA_DIR / "frontier.parquet"))
+    robots = spark.read.parquet(str(DATA_DIR / "robots.parquet"))
+
+    settings = Settings.new(
+        overrides={
+            "crawl": {
+                "budget_override": 10**9,
+                "max_retries": 0,
+                "bloom_enabled": True,
+                "bloom_bits": 1 << 24,
+                "max_rounds": 4,
+            }
+        }
+    )
+    wh_dir = tempfile.mkdtemp(prefix=f"crawlspark_bench_{cpus}_")
+    wh = Warehouse(wh_dir)
+    crawler = Crawler(spark, settings, wh, golden_fields(), pages, robots, frontier)
+
+    # warm the JVM + python workers outside the timed region
+    pages.limit(1000).count()
+    frontier.limit(1000).count()
+
+    t0 = time.time()
+    results = crawler.run()
+    elapsed = time.time() - t0
+
+    urls = sum(r.fetched + r.deduped for r in results)
+    out = {
+        "cpus": cpus,
+        "elapsed_sec": round(elapsed, 3),
+        "urls_fetched_deduped": urls,
+        "urls_per_sec": round(urls / elapsed, 1),
+        "rounds": len(results),
+        "fetched": sum(r.fetched for r in results),
+        "deduped": sum(r.deduped for r in results),
+        "robots_blocked": sum(r.robots_blocked for r in results),
+        "failed": sum(r.failed for r in results),
+    }
+    shutil.rmtree(wh_dir, ignore_errors=True)
+    print("BENCH_WORKER " + json.dumps(out))
+    spark.stop()
+
+
+def run_crawl_scaling() -> dict:
+    res = {}
+    for cpus in (SMALL, CPUS):
+        p = subprocess.run(
+            [sys.executable, __file__, "--crawl-worker", str(cpus)],
+            capture_output=True,
+            text=True,
+            cwd=str(REPO),
+            timeout=3600,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("BENCH_WORKER ")]
+        if not line:
+            sys.stderr.write(p.stdout[-4000:] + "\n" + p.stderr[-4000:] + "\n")
+            raise RuntimeError(f"crawl worker {cpus} produced no result")
+        res[cpus] = json.loads(line[-1][len("BENCH_WORKER "):])
+    t_small = res[SMALL]["urls_per_sec"]
+    t_big = res[CPUS]["urls_per_sec"]
+    eff = (t_big / t_small) / (CPUS / SMALL)
+    return {
+        f"urls_per_sec_{SMALL}": t_small,
+        f"urls_per_sec_{CPUS}": t_big,
+        "scaling_efficiency": round(eff, 3),
+        "n_pages": N_PAGES,
+        "detail": res,
+    }
+
+
+def run_queries() -> dict[str, float]:
+    import __spark_entry__ as entrymod
+    from crawlspark.session import get_spark
+
+    spark = get_spark("bench-queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    qs = entrymod.queries()
+    # warm up
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    timings = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench robust; report the failure
+            timings[name] = -1.0
+            sys.stderr.write(f"query {name} failed: {e}\n")
+    spark.stop()
+    return timings
+
+
+def write_baseline_md(crawl: dict, timings: dict[str, float]) -> None:
+    BENCH_DIR.mkdir(exist_ok=True)
+    small, big = SMALL, CPUS
+    lines = [
+        "# BENCH/BASELINE.md — measured numbers (this engine)",
+        "",
+        "## Crawl throughput & scaling (BASELINE.json metric)",
+        "",
+        "Same job + same input (deterministic synthetic frontier, "
+        f"n_pages={N_PAGES}, n_hosts={N_HOSTS}) at two parallelism levels — the",
+        "sandbox proxy for N vs 4N executors (no real cluster available).",
+        "",
+        "| parallelism | URLs fetched+deduped/sec | elapsed (s) |",
+        "|---|---|---|",
+        f"| local[{small}] | {crawl[f'urls_per_sec_{small}']} | {crawl['detail'][small]['elapsed_sec']} |",
+        f"| local[{big}] | {crawl[f'urls_per_sec_{big}']} | {crawl['detail'][big]['elapsed_sec']} |",
+        "",
+        f"**Scaling efficiency (T_{big}/T_{small})/{big//small} = "
+        f"{crawl['scaling_efficiency']}** (target ≥ 0.8, BASELINE.json:2)",
+        "",
+        "Reference repo publishes no numbers (single-threaded blocking loop —",
+        "see BASELINE.md); its effective concurrency is 1 URL in flight.",
+        "",
+        "## Query battery (sf0.1, local[{}])".format(big),
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for k, v in sorted(timings.items()):
+        lines.append(f"| {k} | {v} |")
+    (BENCH_DIR / "BASELINE.md").write_text("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crawl-worker", type=int, default=None)
+    ap.add_argument("--skip-scaling", action="store_true")
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    if args.crawl_worker:
+        crawl_worker(args.crawl_worker)
+        return
+
+    ensure_data()
+    crawl = {} if args.skip_scaling else run_crawl_scaling()
+    timings = {} if args.skip_queries else run_queries()
+    if crawl:
+        write_baseline_md(crawl, timings)
+
+    headline = crawl.get("detail", {}).get(CPUS, {}).get("elapsed_sec", sum(
+        t for t in timings.values() if t > 0
+    ))
+    out = {
+        "metric": "bulk-crawl wall-clock at local[32] (URLs fetched+deduped/sec in 'crawl')",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "crawl": {k: v for k, v in crawl.items() if k != "detail"},
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,7 +60,7 @@ from . import schemas
 from .canonical import canonicalize_expr, host_expr, url_hash_expr
 from .extract import extract_pages, split_dataset_units
 from .fields import AbcdFields
-from .seen import PartitionedBloom, dense_rank_two_level, split_new_vs_seen
+from .seen import PartitionedBloom, dense_rank_range, split_new_vs_seen
 from .settings import Settings
 from .warehouse import Warehouse
 
@@ -224,7 +224,7 @@ class Crawler:
         )
 
         # 3. seen-set membership (bloom-routed exact confirm, seen.py)
-        base = split_new_vs_seen(base, seen, bloom)
+        base = split_new_vs_seen(base, seen, bloom if s.bloom_enabled else None)
 
         # in-batch duplicate canonicals — blocked/is_seen are functions of curl,
         # so every row of a curl-partition shares them and the window may run
@@ -232,7 +232,10 @@ class Crawler:
         w_dup = Window.partitionBy("curl").orderBy(*[F.col(c).asc() for c in ORDER])
         base = base.withColumn("dup_rn", F.row_number().over(w_dup)).persist()
 
-        budget = F.coalesce(F.col("max_per_round"), F.lit(s.default_host_budget))
+        if s.budget_override is not None:  # bulk/bench mode
+            budget = F.lit(s.budget_override)
+        else:
+            budget = F.coalesce(F.col("max_per_round"), F.lit(s.default_host_budget))
 
         # one aggregate for the drop counters
         drop_counts = base.agg(
@@ -249,20 +252,30 @@ class Crawler:
         #    (windows must see only eligible rows — a masked row_number would
         #    still count ineligible partition members)
         elig = base.filter(~F.col("blocked") & ~F.col("is_seen") & (F.col("dup_rn") == 1))
-        salt_n = s.salt_partitions or int(sp.conf.get("spark.sql.shuffle.partitions"))
-        w_salt = Window.partitionBy(
-            "chost", F.pmod(F.col("url_hash"), F.lit(salt_n))
-        ).orderBy(*[F.col(c).asc() for c in ORDER])
-        elig = elig.withColumn("salt_rn", F.row_number().over(w_salt)).persist()
+        bulk = s.budget_override is not None and s.budget_override >= 1_000_000_000
+        if bulk:
+            # bulk/throughput mode: budget exceeds any host's candidate count,
+            # so selection == eligibility and both windows are provably no-ops
+            elig = elig.persist()
+            cand = elig
+            selected = elig
+            defer_salt = elig.filter(F.lit(False))
+            defer_host = defer_salt
+        else:
+            salt_n = s.salt_partitions or int(sp.conf.get("spark.sql.shuffle.partitions"))
+            w_salt = Window.partitionBy(
+                "chost", F.pmod(F.col("url_hash"), F.lit(salt_n))
+            ).orderBy(*[F.col(c).asc() for c in ORDER])
+            elig = elig.withColumn("salt_rn", F.row_number().over(w_salt)).persist()
 
-        # salt losers can never be in the exact host top-k (each salt keeps its
-        # own top-budget) — they defer without touching the host-level window
-        defer_salt = elig.filter(F.col("salt_rn") > budget)
-        cand = elig.filter(F.col("salt_rn") <= budget)
-        w_host = Window.partitionBy("chost").orderBy(*[F.col(c).asc() for c in ORDER])
-        cand = cand.withColumn("host_rn", F.row_number().over(w_host)).persist()
-        defer_host = cand.filter(F.col("host_rn") > budget)
-        selected = cand.filter(F.col("host_rn") <= budget)
+            # salt losers can never be in the exact host top-k (each salt keeps
+            # its own top-budget) — they defer without the host-level window
+            defer_salt = elig.filter(F.col("salt_rn") > budget)
+            cand = elig.filter(F.col("salt_rn") <= budget)
+            w_host = Window.partitionBy("chost").orderBy(*[F.col(c).asc() for c in ORDER])
+            cand = cand.withColumn("host_rn", F.row_number().over(w_host)).persist()
+            defer_host = cand.filter(F.col("host_rn") > budget)
+            selected = cand.filter(F.col("host_rn") <= budget)
 
         # 6. fetch: pages join, then cache fallback (src/main.rs:182-203)
         fetchable = selected.join(self.pages_idx.drop("page_curl"), "url_hash", "left")
@@ -283,13 +296,17 @@ class Crawler:
         n_retried = c1.get("retried", 0)
         n_failed = c1.get("failed", 0)
 
-        # 5. crawl order seq + 7. dense surrogate keys (two-level numbering)
-        seq_df = dense_rank_two_level(
+        # 5. crawl order seq + 7. dense surrogate keys — skew-robust global
+        #    numbering via range repartition (seen.py dense_rank_range); the
+        #    host-partitioned two-level variant is equivalent but would put the
+        #    skewed host's whole batch in one task
+        _pins: list = []
+        seq_df = dense_rank_range(
             statused.select("curl", "chost", "priority", "warc_ts", "url",
                             (F.col("disposition") == "fetched").alias("is_fetched")),
-            "chost",
-            ["priority", "warc_ts", "curl"],
+            ["chost", "priority", "warc_ts", "curl"],
             out_col="seq",
+            keep=_pins,
         )
         crawl_log = seq_df.select(
             F.lit(round_).alias("round"),
@@ -300,12 +317,12 @@ class Crawler:
         )
 
         fetched = statused.filter(F.col("disposition") == "fetched")
-        keyed = dense_rank_two_level(
+        keyed = dense_rank_range(
             fetched.select("curl", "url_hash", "chost", "priority", "warc_ts", "url"),
-            "chost",
-            ["priority", "warc_ts", "curl"],
+            ["chost", "priority", "warc_ts", "curl"],
             out_col="surrogate_key",
             offset=next_key - 1,
+            keep=_pins,
         )
         new_seen = keyed.select(
             F.col("curl").alias("url"), "url_hash", "surrogate_key",
@@ -384,7 +401,7 @@ class Crawler:
         )
 
         n_deferred = deferred.count()
-        for df in (base, elig, cand, statused, extracted):
+        for df in (base, elig, cand, statused, extracted, *_pins):
             df.unpersist()
 
         # re-read committed state so the next round's plan starts from files,

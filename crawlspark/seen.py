@@ -156,6 +156,48 @@ def split_new_vs_seen(
     )
 
 
+def dense_rank_range(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "seq",
+    offset: int = 0,
+    keep: list | None = None,
+) -> DataFrame:
+    """Dense 1-based global numbering by a strict total order, skew-robust.
+
+    Range-repartition on the order columns (balanced regardless of key skew),
+    then per-partition row_number + cumulative partition offsets. Partition
+    boundaries come from sampling and are not deterministic — but the output
+    IS: ranks are fully determined by the total order, and range partition i
+    always precedes partition j>i in that order. Requires the order to be
+    strict (no ties), which holds for crawl batches (curl is unique).
+    """
+    oc = [F.col(c).asc() for c in order_cols]
+    # persisted: the counts branch and the window branch MUST observe the same
+    # (sampled, hence nondeterministic) range boundaries — the cache pins them
+    d = (
+        df.repartitionByRange(*oc)
+        .sortWithinPartitions(*oc)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    if keep is not None:
+        keep.append(d)
+    counts = d.groupBy("_pid").count()
+    w_cum = Window.orderBy(F.col("_pid").asc()).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("count").over(w_cum), F.lit(0))
+    ).select("_pid", "_off")
+    w_local = Window.partitionBy("_pid").orderBy(*oc)
+    out = (
+        d.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_rn") + F.col("_off") + F.lit(offset)).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+    return out
+
+
 def dense_rank_two_level(
     df: DataFrame,
     part_col: str,

@@ -44,6 +44,8 @@ class CrawlSettings:
     """Knobs of the PySpark crawl loop (no reference analog: north_rule)."""
 
     default_host_budget: int = 8        # politeness: max fetches per host per round
+    budget_override: int | None = None  # bulk/bench mode: ignore robots budgets
+    bloom_enabled: bool = True          # bloom prefilter before the exact anti-join
     max_retries: int = 1                # fetch-miss re-enqueue attempts (src/main.rs:190-203 analog)
     max_rounds: int = 64
     bloom_bits: int = 1 << 20           # per-run bloom sizing (scaled up at 10^10)

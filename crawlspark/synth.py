@@ -314,6 +314,37 @@ def write_spark(spark, out_dir: str, n_pages: int, n_hosts: int, partitions: int
         .parquet(f"{out_dir}/pages.parquet")
     )
 
+    from .schemas import FRONTIER
+
+    def gen_frontier(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                url = unknown_url(i, n_hosts) if is_unknown(i) else page_url(i, n_hosts)
+                h = host_of(i, n_hosts)
+                base = {
+                    "host": f"host{h}.example.org",
+                    "warc_ts": warc_ts(i),
+                    "provider": f"provider_{h % 7}",
+                    "discovered_round": 0,
+                    "retries": 0,
+                }
+                rows.append({"url": url, "priority": i % 4, **base})
+                v = variant_url(i, n_hosts)
+                if v is not None and not is_unknown(i):
+                    rows.append({"url": v, "priority": (i + 1) % 4, **base})
+            yield pd.DataFrame(rows, columns=[f.name for f in FRONTIER.fields])
+
+    import pandas as pd
+
+    (
+        spark.range(0, n_pages, 1, partitions)
+        .mapInPandas(gen_frontier, schema=FRONTIER)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/frontier.parquet")
+    )
+
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pathlib import Path
@@ -324,7 +355,6 @@ def write_spark(spark, out_dir: str, n_pages: int, n_hosts: int, partitions: int
         cols = {k: [r[k] for r in rows] for k in rows[0]}
         return pa.table(cols)
 
-    pq.write_table(to_table(frontier_rows(n_pages, n_hosts)), out / "frontier.parquet")
     pq.write_table(to_table(robots_rows(n_hosts)), out / "robots.parquet")
     cr = cache_rows(n_pages, n_hosts)
     if cr:

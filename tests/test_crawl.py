@@ -7,14 +7,11 @@ byte-identical final state (reference analog: the resumable storage-dir
 side-cache + atomic publish, src/main.rs:262-266, database_sink.rs:258-284).
 """
 
-import shutil
-
 import pytest
 
 from pyspark.sql import functions as F
 
 from crawlspark import schemas, synth
-from crawlspark.fields import AbcdFields
 from crawlspark.scheduler import Crawler
 from crawlspark.settings import Settings
 from crawlspark.warehouse import Warehouse
@@ -65,9 +62,7 @@ def run_crawler(spark, synth_dfs, wh_dir, max_rounds=None):
 def collect_state(spark, wh: Warehouse):
     log = [
         (r["round"], r["seq"], r["url"])
-        for r in wh.read_appends(spark, "crawl_log")
-        .orderBy("round", "seq")
-        .collect()
+        for r in wh.read_appends(spark, "crawl_log").orderBy("round", "seq").collect()
     ]
     seen = {
         r["url"]: r["surrogate_key"]
@@ -80,18 +75,22 @@ def collect_state(spark, wh: Warehouse):
     return log, seen, metrics
 
 
-def test_crawl_matches_oracle(spark, synth_dfs, tmp_path):
-    settings, wh, results = run_crawler(spark, synth_dfs, tmp_path / "wh")
-    sim = oracle(settings)
+@pytest.fixture(scope="module")
+def full_run(spark, synth_dfs, tmp_path_factory):
+    wh_dir = tmp_path_factory.mktemp("wh_full")
+    settings, wh, results = run_crawler(spark, synth_dfs, wh_dir)
+    return settings, wh, results
 
+
+def test_crawl_matches_oracle(spark, full_run):
+    settings, wh, _ = full_run
+    sim = oracle(settings)
     log, seen, metrics = collect_state(spark, wh)
 
     # exact crawl order equality (BASELINE.json:2)
     assert log == sim.crawl_order
-
     # exact seen set + dense first-seen surrogate keys
     assert seen == sim.seen
-
     # per-round counters
     assert len(metrics) == len(sim.metrics)
     for m in sim.metrics:
@@ -100,61 +99,35 @@ def test_crawl_matches_oracle(spark, synth_dfs, tmp_path):
             assert got[k] == m[k], (m["round"], k, got[k], m[k])
 
 
-def test_extraction_outputs_keyed_and_byte_identical(spark, synth_dfs, tmp_path):
-    settings, wh, _ = run_crawler(spark, synth_dfs, tmp_path / "wh2")
+def test_extraction_outputs_keyed_and_byte_identical(spark, full_run):
+    _, wh, _ = full_run
     units = wh.read_appends(spark, "units")
     datasets = wh.read_appends(spark, "datasets")
-    # every fetched canonical url produced rows with its surrogate key
     assert datasets.filter(F.col("surrogate_key").isNull()).count() == 0
     assert units.filter(F.col("surrogate_key").isNull()).count() == 0
-    # 1:N shape — unit count per dataset url matches the synth template
+
     from crawlspark.csvsink import render_unit_rows_expr
 
-    # byte-identical text: re-render units from the committed table
-    ex = wh.read_appends(spark, "units").withColumn("kind", F.lit("unit"))
+    # byte-identical text: re-render units from the committed table (the
+    # vertical split dropped dataset-level columns — they render as NULLs)
+    ex = units.withColumn("kind", F.lit("unit"))
+    for fs in synth.golden_fields():
+        if fs.global_field:
+            ex = ex.withColumn(fs.hash, F.lit(None).cast("string"))
     got = {
         r["url"]: r["text"]
         for r in render_unit_rows_expr(ex, synth.golden_fields()).collect()
     }
+    assert got
     for url in got:
         i = int(url.rsplit("/", 1)[1])
         assert got[url] == synth.expected_text(i), url
 
 
-def test_kill_and_resume_exact(spark, synth_dfs, tmp_path):
-    # full run in one go
-    _, wh_full, res_full = run_crawler(spark, synth_dfs, tmp_path / "whA")
-    # killed after 1 round, then resumed (fresh Crawler instance, same warehouse)
-    _, wh_part, res1 = run_crawler(spark, synth_dfs, tmp_path / "whB", max_rounds=1)
-    assert len(res1) == 1
-    _, wh_part, res2 = run_crawler(spark, synth_dfs, tmp_path / "whB")
-
-    a = collect_state(spark, wh_full)
-    b = collect_state(spark, wh_part)
-    assert a[0] == b[0]  # crawl order
-    assert a[1] == b[1]  # seen set + keys
-    assert {r: {k: v for k, v in m.items()} for r, m in a[2].items()} == {
-        r: {k: v for k, v in m.items()} for r, m in b[2].items()
-    }
-    # units/datasets tables identical as multisets
-    ua = sorted(map(tuple, wh_full.read_appends(spark, "units").collect()))
-    ub = sorted(map(tuple, wh_part.read_appends(spark, "units").collect()))
-    assert ua == ub
-
-
-def test_idempotent_recommit(spark, synth_dfs, tmp_path):
-    _, wh, _ = run_crawler(spark, synth_dfs, tmp_path / "whC", max_rounds=1)
-    # re-committing round 0 is a no-op
-    pages, frontier, robots, cache_df = synth_dfs
-    assert (
-        wh.commit_round(0, snapshots={"frontier": frontier.limit(0)}) is False
-    )
-
-
-def test_listing_view(spark, synth_dfs, tmp_path):
+def test_listing_view(spark, full_run):
     from crawlspark.listing import dataset_listing
 
-    _, wh, _ = run_crawler(spark, synth_dfs, tmp_path / "whD")
+    _, wh, _ = full_run
     f = synth.golden_fields()
     listing = dataset_listing(
         wh.read_appends(spark, "datasets"), wh.read_appends(spark, "units"), f
@@ -162,7 +135,29 @@ def test_listing_view(spark, synth_dfs, tmp_path):
     rows = listing.collect()
     assert len(rows) > 0
     assert {r["isGeoReferenced"] for r in rows} <= {True, False}
-    geo = [r for r in rows if r["isGeoReferenced"]]
-    assert geo  # synthetic lat/lon present on most units
+    assert [r for r in rows if r["isGeoReferenced"]]
     # links: even pages carry an extracted URI, odd pages the proposal
     assert any(r["link"].startswith("https://landing") for r in rows)
+
+
+def test_kill_and_resume_exact(spark, synth_dfs, full_run, tmp_path):
+    _, wh_full, _ = full_run
+    # killed after 1 round, then resumed (fresh Crawler instance, same warehouse)
+    _, wh_part, res1 = run_crawler(spark, synth_dfs, tmp_path / "whB", max_rounds=1)
+    assert len(res1) == 1
+    _, wh_part, _ = run_crawler(spark, synth_dfs, tmp_path / "whB")
+
+    a = collect_state(spark, wh_full)
+    b = collect_state(spark, wh_part)
+    assert a[0] == b[0]  # crawl order
+    assert a[1] == b[1]  # seen set + keys
+    assert a[2] == b[2]  # metrics
+    ua = sorted(map(tuple, wh_full.read_appends(spark, "units").collect()))
+    ub = sorted(map(tuple, wh_part.read_appends(spark, "units").collect()))
+    assert ua == ub
+
+
+def test_idempotent_recommit(spark, synth_dfs, tmp_path):
+    _, wh, _ = run_crawler(spark, synth_dfs, tmp_path / "whC", max_rounds=1)
+    pages, frontier, robots, cache_df = synth_dfs
+    assert wh.commit_round(0, snapshots={"frontier": frontier.limit(0)}) is False

@@ -1,0 +1,121 @@
+"""Training-data ops: dedup / similarity / text analysis / multimodal."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crawlspark.textops import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    embedding_near_dup_pairs,
+    exact_dedup_groups,
+    lang_id_heuristic,
+    minhash_lsh_pairs,
+    quality_score,
+    simhash,
+    simhash_near_pairs,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and the dog slept", "en"),
+        (2, "the cat sat on the mat and the dog slept", "en"),     # exact dup of 1
+        (3, "the cat sat on the mat and the dog snored", "en"),    # near dup
+        (4, "der hund und die katze und der vogel", "de"),
+        (5, "completely different words entirely unrelated tokens", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_doc_id"] == 1 and groups[0]["n_copies"] == 2
+
+
+def test_minhash_finds_dups(docs):
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}
+    assert (1, 2) in pairs          # exact dup always collides, jaccard 1.0
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_jaccard_exact_for_identical(docs):
+    rows = minhash_lsh_pairs(docs, jaccard_threshold=0.99).collect()
+    assert any(r["a"] == 1 and r["b"] == 2 and r["jaccard"] == 1.0 for r in rows)
+
+
+def test_simhash_identical_and_near(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] > 0
+
+
+def test_ann_bruteforce_self_vector(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),     # identical to query
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.9, 0.1, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = ann_bruteforce_topk(df, query_vec_id=0, k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 3, 2]
+
+
+def test_ann_lsh_contains_identical(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(1, 40)]
+    rows.append((0, rows[4][1]))  # query identical to vec_id 5
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = ann_lsh_topk(df, query_vec_id=0, k=5, planes=4).collect()
+    assert top and top[0]["vec_id"] == 5  # bucket shares the identical vector
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [1.0, 2.0, 3.0]),
+        (3, [3.0, -1.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(df, threshold=0.999).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_lang_id(docs):
+    preds = {r["doc_id"]: r["lang_pred"] for r in lang_id_heuristic(docs).collect()}
+    assert preds[1] == "en"
+    assert preds[4] == "de"
+    assert preds[5] == "und"  # no stopword hits
+
+
+def test_quality_and_tokens(docs):
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[1]["n_words"] == 10
+    assert q[1]["stopword_hits"] == 4  # 'the' x3 + 'and' x1
+    t = {r["doc_id"]: r for r in token_count(docs).collect()}
+    assert t[1]["ws_tokens"] == 10
+
+
+def test_multimodal_stub_plumbing(spark):
+    from crawlspark.multimodal import decode_image_features, documents_as_binary, frame_sample
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 100)], ["doc_id", "text"]
+    )
+    b = documents_as_binary(df)
+    meta = decode_image_features(b).collect()
+    assert len(meta) == 2
+    assert all(len(r["features"]) == 8 for r in meta)
+    assert all(r["decoder"] in ("real", "stub") for r in meta)
+    # determinism
+    meta2 = decode_image_features(b).collect()
+    assert sorted(map(tuple, meta)) == sorted(map(tuple, meta2))
+    frames = frame_sample(b).collect()
+    assert {r["doc_id"] for r in frames} == {1, 2}
