@@ -34,8 +34,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # bounded dot-segment passes; path depth beyond this is not normalized further
-# (deterministic on both sides, so crawl order/seen set still agree exactly)
-DOT_PASSES = 12
+# (deterministic on both sides, so crawl order/seen set still agree exactly);
+# each pass removes at least one dot segment, and >6 chained ../ segments is
+# vanishingly rare in real URLs — bound kept small to keep the Catalyst
+# expression tree (6 passes × 6 regexes) cheap to analyze/codegen
+DOT_PASSES = 6
 
 _UNRESERVED = "^[A-Za-z0-9._~-]$"
 _HEX2 = "^[0-9A-Fa-f]{2}"

@@ -66,10 +66,16 @@ from .warehouse import Warehouse
 
 ORDER = ["priority", "warc_ts", "curl", "url"]  # the canonical tie-break chain
 FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
+# frontier *state* carries the canonical columns: canonicalization runs once
+# per url at seed/discovery time, not once per round (deferred/retried rows
+# keep their computed values through warehouse snapshots)
+ENRICHED_COLS = FRONTIER_COLS + ["curl", "url_hash", "chost", "path"]
 
 
 def enrich(df: DataFrame) -> DataFrame:
-    """Add canonical columns to raw frontier/pages rows."""
+    """Add canonical columns to raw frontier/pages rows (idempotent)."""
+    if "curl" in df.columns:
+        return df
     return (
         df.withColumn("curl", canonicalize_expr(F.col("url")))
         .withColumn("url_hash", url_hash_expr(F.col("curl")))
@@ -186,14 +192,16 @@ class Crawler:
         max_rounds = max_rounds or self.settings.crawl.max_rounds
         frontier, seen, bloom, next_key, round_ = self._load_state()
         results: list[RoundResult] = []
+        if frontier.isEmpty():  # only the resume/seed boundary needs a probe
+            return results
         for _ in range(max_rounds):
-            if frontier.isEmpty():
-                break
             rr, frontier, seen, bloom, next_key = self.run_round(
                 round_, frontier, seen, bloom, next_key
             )
             results.append(rr)
             round_ += 1
+            if rr.frontier_left == 0:
+                break
         return results
 
     # ------------------------------------------------------------------
@@ -237,16 +245,20 @@ class Crawler:
         else:
             budget = F.coalesce(F.col("max_per_round"), F.lit(s.default_host_budget))
 
-        # one aggregate for the drop counters
+        # one aggregate for the drop + eligibility counters
         drop_counts = base.agg(
             F.sum(F.when(F.col("blocked"), 1).otherwise(0)).alias("blocked"),
             F.sum(F.when(~F.col("blocked") & F.col("is_seen"), 1).otherwise(0)).alias("dup_seen"),
             F.sum(
                 F.when(~F.col("blocked") & ~F.col("is_seen") & (F.col("dup_rn") > 1), 1).otherwise(0)
             ).alias("dup_batch"),
+            F.sum(
+                F.when(~F.col("blocked") & ~F.col("is_seen") & (F.col("dup_rn") == 1), 1).otherwise(0)
+            ).alias("elig"),
         ).collect()[0]
         n_blocked = drop_counts["blocked"] or 0
         n_dedup = (drop_counts["dup_seen"] or 0) + (drop_counts["dup_batch"] or 0)
+        n_elig = drop_counts["elig"] or 0
 
         # 4. politeness: two-phase exact per-host top-k over ELIGIBLE rows only
         #    (windows must see only eligible rows — a masked row_number would
@@ -366,14 +378,14 @@ class Crawler:
             )
         )
 
-        # 9. next frontier state
-        deferred = defer_salt.select(*FRONTIER_COLS).unionByName(
-            defer_host.select(*FRONTIER_COLS)
+        # 9. next frontier state (keeps canonical columns — no re-enrichment)
+        deferred = defer_salt.select(*ENRICHED_COLS).unionByName(
+            defer_host.select(*ENRICHED_COLS)
         )
         retried_rows = (
             statused.filter(F.col("disposition") == "retried")
             .withColumn("retries", F.col("retries") + 1)
-            .select(*FRONTIER_COLS)
+            .select(*ENRICHED_COLS)
         )
         new_frontier = deferred.unionByName(retried_rows)
         new_seen_all = seen.unionByName(new_seen)
@@ -400,7 +412,8 @@ class Crawler:
             },
         )
 
-        n_deferred = deferred.count()
+        n_selected = n_fetched + n_retried + n_failed
+        n_deferred = n_elig - n_selected
         for df in (base, elig, cand, statused, extracted, *_pins):
             df.unpersist()
 

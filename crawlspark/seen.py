@@ -118,15 +118,18 @@ def bloom_filter_column(bloom: PartitionedBloom | None, hash_col: str):
 
     Returns a Column: true = *possibly* seen (must exact-confirm),
     false = definitely new (skips the anti-join).  When no filter exists yet,
-    everything is "possibly seen" (falls back to the exact join).
+    everything is "possibly seen" (falls back to the exact join). The bitmap
+    payload ships once per executor as a Spark broadcast, not in the task
+    closure.
     """
     if bloom is None or not bloom.bitmaps:
         return F.lit(True)
-    payload = bloom.to_rows()
+    spark = __import__("pyspark").sql.SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(bloom.to_rows())
 
     @F.pandas_udf(BooleanType())
     def probe(h: pd.Series) -> pd.Series:
-        bl = PartitionedBloom.from_rows(payload)
+        bl = PartitionedBloom.from_rows(bc.value)
         return pd.Series(bl.might_contain(h.to_numpy(dtype=np.int64)))
 
     return probe(F.col(hash_col))

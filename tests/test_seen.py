@@ -1,0 +1,66 @@
+"""Seen-set machinery: bloom routing (never drops), dense numbering."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from crawlspark.seen import PartitionedBloom, dense_rank_range, dense_rank_two_level, split_new_vs_seen
+
+
+def test_bloom_no_false_negatives():
+    bl = PartitionedBloom(1 << 12, 5, 4)
+    hs = np.arange(-500, 500, dtype=np.int64) * 2654435761
+    bl.add(hs)
+    assert bl.might_contain(hs).all()  # bloom property: no false negatives
+
+
+def test_bloom_routes_most_new_away():
+    bl = PartitionedBloom(1 << 16, 5, 4)
+    bl.add(np.arange(1000, dtype=np.int64))
+    fresh = np.arange(10_000_000, 10_001_000, dtype=np.int64)
+    fp = bl.might_contain(fresh).mean()
+    assert fp < 0.05  # sized for ~1k entries → tiny false-positive rate
+
+
+def test_bloom_roundtrip_serialization():
+    bl = PartitionedBloom(1 << 10, 3, 4)
+    hs = np.array([1, -7, 12345678901234, -99999999], dtype=np.int64)
+    bl.add(hs)
+    bl2 = PartitionedBloom.from_rows(bl.to_rows())
+    assert bl2.might_contain(hs).all()
+    assert bl2.bits == bl.bits and bl2.k == bl.k and bl2.n_buckets == bl.n_buckets
+
+
+def test_split_new_vs_seen_exact(spark):
+    batch = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(20)], ["url_hash", "url"]
+    )
+    seen = spark.createDataFrame(
+        [(i, f"u{i}", i, 0) for i in range(0, 20, 2)],
+        ["url_hash", "url", "surrogate_key", "first_round"],
+    )
+    bl = PartitionedBloom(1 << 10, 3, 2)
+    bl.add(np.arange(0, 20, 2, dtype=np.int64))
+    out = {r["url_hash"]: r["is_seen"] for r in split_new_vs_seen(batch, seen, bl).collect()}
+    assert all(out[i] == (i % 2 == 0) for i in range(20))
+    # and without bloom (exact-only path)
+    out2 = {r["url_hash"]: r["is_seen"] for r in split_new_vs_seen(batch, seen, None).collect()}
+    assert out == out2
+
+
+def _ranks(rows):
+    return {r["k"]: r["seq"] for r in rows}
+
+
+def test_dense_rank_variants_agree(spark):
+    data = [(f"h{i % 5}", i % 3, i, f"k{i:03d}") for i in range(97)]
+    df = spark.createDataFrame(data, ["host", "priority", "i", "k"])
+    a = dense_rank_range(df, ["host", "priority", "k"], out_col="seq", offset=10)
+    b = dense_rank_two_level(df, "host", ["priority", "k"], out_col="seq", offset=10)
+    ra, rb = _ranks(a.collect()), _ranks(b.collect())
+    assert ra == rb
+    # dense, 1-based + offset, ordered by (host, priority, k)
+    assert sorted(ra.values()) == list(range(11, 11 + 97))
+    ordered = sorted(data, key=lambda t: (t[0], t[1], t[3]))
+    for rank, row in enumerate(ordered, start=11):
+        assert ra[row[3]] == rank
