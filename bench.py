@@ -38,7 +38,7 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "400000"))
+N_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "150000"))
 N_HOSTS = max(64, N_PAGES // 400)
 BENCH_DIR = REPO / "BENCH"
 DATA_DIR = BENCH_DIR / f"data_n{N_PAGES}"
@@ -68,8 +68,16 @@ def crawl_worker(cpus: int) -> None:
     from crawlspark.synth import golden_fields
     from crawlspark.warehouse import Warehouse
 
+    # AQE off for the crawl loop: with AQE on, actions over frames derived
+    # from cached round state re-execute the cached subtree (observed via
+    # event-log stage RDDs: live Window/SMJ nodes under InMemoryRelation),
+    # multiplying the canonicalize/join work several-fold. The round pipeline
+    # controls its own partitioning, so AQE adds nothing here.
     spark = get_spark(
-        f"bench-crawl-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+        f"bench-crawl-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     pages = spark.read.parquet(str(DATA_DIR / "pages.parquet"))
     frontier = spark.read.parquet(str(DATA_DIR / "frontier.parquet"))
@@ -81,18 +89,25 @@ def crawl_worker(cpus: int) -> None:
                 "budget_override": 10**9,
                 "max_retries": 0,
                 "bloom_enabled": True,
-                "bloom_bits": 1 << 24,
+                "bloom_bits": 1 << 21,
                 "max_rounds": 4,
             }
         }
     )
+    # JIT/codegen warmup outside the timed region: a micro-crawl with the
+    # exact same plan shapes compiles every codegen class and spins up the
+    # Python workers; the timed run then measures steady-state throughput.
+    warm_wh = Warehouse(tempfile.mkdtemp(prefix=f"crawlspark_warm_{cpus}_"))
+    warm = Crawler(
+        spark, settings, warm_wh, golden_fields(),
+        pages.limit(2000), robots, frontier.limit(2000),
+    )
+    warm.run(max_rounds=1)
+    shutil.rmtree(warm_wh.path, ignore_errors=True)
+
     wh_dir = tempfile.mkdtemp(prefix=f"crawlspark_bench_{cpus}_")
     wh = Warehouse(wh_dir)
     crawler = Crawler(spark, settings, wh, golden_fields(), pages, robots, frontier)
-
-    # warm the JVM + python workers outside the timed region
-    pages.limit(1000).count()
-    frontier.limit(1000).count()
 
     t0 = time.time()
     results = crawler.run()
@@ -118,11 +133,16 @@ def crawl_worker(cpus: int) -> None:
 def run_crawl_scaling() -> dict:
     res = {}
     for cpus in (SMALL, CPUS):
+        env = dict(os.environ)
+        # plenty of heap for the worker: 32 concurrent tasks + round caches in
+        # one JVM GC-thrash in the 8g default
+        env.setdefault("CRAWLSPARK_DRIVER_MEM", "24g")
         p = subprocess.run(
             [sys.executable, __file__, "--crawl-worker", str(cpus)],
             capture_output=True,
             text=True,
             cwd=str(REPO),
+            env=env,
             timeout=3600,
         )
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("BENCH_WORKER ")]

@@ -49,9 +49,26 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from dataclasses import dataclass
 
 import numpy as np
+
+_TIMING = os.environ.get("CRAWLSPARK_TIMING") == "1"
+
+
+class _Timer:
+    def __init__(self, round_: int):
+        self.round = round_
+        self.t = time.time()
+
+    def lap(self, label: str) -> None:
+        if _TIMING:
+            now = time.time()
+            sys.stderr.write(f"[timing r{self.round}] {label}: {now - self.t:.2f}s\n")
+            self.t = now
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -194,14 +211,23 @@ class Crawler:
         results: list[RoundResult] = []
         if frontier.isEmpty():  # only the resume/seed boundary needs a probe
             return results
-        for _ in range(max_rounds):
-            rr, frontier, seen, bloom, next_key = self.run_round(
-                round_, frontier, seen, bloom, next_key
-            )
-            results.append(rr)
-            round_ += 1
-            if rr.frontier_left == 0:
-                break
+        # AQE off inside the round loop: AQE re-executes cached subtrees for
+        # actions on frames derived from the round's persisted state (observed
+        # via event-log stage RDDs), multiplying the per-round work. The loop
+        # sets its own partition counts, so AQE has nothing to optimize here.
+        prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            for _ in range(max_rounds):
+                rr, frontier, seen, bloom, next_key = self.run_round(
+                    round_, frontier, seen, bloom, next_key
+                )
+                results.append(rr)
+                round_ += 1
+                if rr.frontier_left == 0:
+                    break
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         return results
 
     # ------------------------------------------------------------------
@@ -215,6 +241,7 @@ class Crawler:
     ) -> tuple[RoundResult, DataFrame, DataFrame, PartitionedBloom, int]:
         s = self.settings.crawl
         sp = self.spark
+        tm = _Timer(round_)
 
         base = enrich(frontier)
 
@@ -256,6 +283,7 @@ class Crawler:
                 F.when(~F.col("blocked") & ~F.col("is_seen") & (F.col("dup_rn") == 1), 1).otherwise(0)
             ).alias("elig"),
         ).collect()[0]
+        tm.lap("base+robots+seen+dup agg")
         n_blocked = drop_counts["blocked"] or 0
         n_dedup = (drop_counts["dup_seen"] or 0) + (drop_counts["dup_batch"] or 0)
         n_elig = drop_counts["elig"] or 0
@@ -303,7 +331,9 @@ class Crawler:
             .otherwise("failed"),
         ).persist()
 
+        tm.lap("politeness+fetch plan")
         c1 = {r["disposition"]: r["count"] for r in statused.groupBy("disposition").count().collect()}
+        tm.lap("statused counts")
         n_fetched = c1.get("fetched", 0)
         n_retried = c1.get("retried", 0)
         n_failed = c1.get("failed", 0)
@@ -352,6 +382,7 @@ class Crawler:
             F.sum(F.when(F.col("kind") == "dataset", 1).otherwise(0)).alias("d"),
             F.sum(F.when(F.col("kind") == "unit", 1).otherwise(0)).alias("u"),
         ).collect()[0]
+        tm.lap("extraction agg")
         n_datasets = ex_counts["d"] or 0
         n_units = ex_counts["u"] or 0
 
@@ -392,14 +423,17 @@ class Crawler:
 
         # update bloom with this round's new hashes (driver-side at local
         # scale; per-bucket distributed build at 10^10 — see seen.py)
+        tm.lap("pre-bloom")
         new_hashes = np.array(
             [r["url_hash"] for r in new_seen.select("url_hash").collect()], dtype=np.int64
         )
         bloom.add(new_hashes)
+        tm.lap("bloom collect+add")
         bloom_df = sp.createDataFrame(
             bloom.to_rows(), ["bucket", "bitmap", "bits", "k", "n_buckets"]
         )
 
+        tm.lap("bloom df")
         self.wh.commit_round(
             round_,
             snapshots={"frontier": new_frontier, "seen": new_seen_all, "bloom": bloom_df},
@@ -412,6 +446,7 @@ class Crawler:
             },
         )
 
+        tm.lap("commit")
         n_selected = n_fetched + n_retried + n_failed
         n_deferred = n_elig - n_selected
         for df in (base, elig, cand, statused, extracted, *_pins):

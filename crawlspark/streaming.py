@@ -1,0 +1,71 @@
+"""Structured-Streaming variant of the discovery stage (optional surface).
+
+The reference is pure batch (SURVEY.md §2.2: streaming ops absent); the
+engine's round loop is the faithful analog. This module adds the idiomatic
+Spark-native *incremental* shape for deployments where the seed list arrives
+continuously (e.g. a WARC-drop directory): a file-source stream of frontier
+rows, canonicalized + robots-filtered + deduplicated against the persistent
+seen set with ``foreachBatch`` micro-batches that reuse the exact batch-round
+primitives — one code path for both execution modes.
+
+Scale notes: the stream stays incremental — each micro-batch touches only new
+files; the seen-set confirm is the same bloom-routed anti-join; checkpointing
+is Spark's own (offsets) plus the engine warehouse commit per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+from .scheduler import enrich
+from .seen import split_new_vs_seen
+from .warehouse import Warehouse
+
+
+def frontier_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of frontier rows (parquet drops)."""
+    return spark.readStream.schema(schemas.FRONTIER).parquet(input_dir)
+
+
+def discovered_urls_stream(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: Warehouse,
+    robots: DataFrame,
+    checkpoint_dir: str,
+    out_table: str = "discovered",
+):
+    """Continuously ingest frontier drops → canonical, robots-filtered,
+    unseen urls appended to the warehouse (micro-batch via foreachBatch so
+    the batch primitives — enrich/anti-join/commit — are reused verbatim)."""
+    stream = frontier_stream(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        seen = warehouse.read_state(spark, "seen", schemas.SEEN)
+        b = enrich(batch_df)
+        rb = robots.select("host", "disallow_prefixes")
+        b = b.join(F.broadcast(rb), b["chost"] == rb["host"], "left").drop(rb["host"])
+        b = b.filter(
+            ~F.coalesce(
+                F.exists("disallow_prefixes", lambda p: F.col("path").startswith(p)),
+                F.lit(False),
+            )
+        )
+        b = split_new_vs_seen(b, seen, None).filter(~F.col("is_seen"))
+        out = b.select(
+            "url", "curl", "url_hash", "chost", "priority", "warc_ts",
+            F.lit(batch_id).alias("batch_id"),
+        ).dropDuplicates(["url_hash"])
+        # append via the warehouse so batch and streaming share the commit path
+        warehouse.commit_round(
+            warehouse.last_round() + 1, appends={out_table: out}
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

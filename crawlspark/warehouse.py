@@ -67,9 +67,13 @@ class Warehouse:
         if round_ <= m["last_round"]:
             return False
 
+        import time as _time
+
+        timing = os.environ.get("CRAWLSPARK_TIMING") == "1"
         written: list[tuple[str, str, Path]] = []
         for kind, tables in (("snapshot", snapshots or {}), ("append", appends or {})):
             for name, df in tables.items():
+                t0 = _time.time()
                 final = self._round_dir(name, round_)
                 staging = final.parent / f"_staging_r{round_:06d}"
                 if staging.exists():
@@ -80,6 +84,12 @@ class Warehouse:
                     shutil.rmtree(final)
                 os.rename(staging, final)
                 written.append((kind, name, final))
+                if timing:
+                    import sys as _sys
+
+                    _sys.stderr.write(
+                        f"[timing commit] {name}: {_time.time() - t0:.2f}s\n"
+                    )
 
         for kind, name, _ in written:
             t = m["tables"].setdefault(name, {"kind": kind, "rounds": []})

@@ -1,0 +1,88 @@
+"""Settings layering, CSV parity surface, streaming discovery."""
+
+import textwrap
+
+from crawlspark.settings import Settings
+
+
+def test_settings_layering(tmp_path):
+    p = tmp_path / "s.toml"
+    p.write_text(
+        textwrap.dedent(
+            """
+            [general]
+            debug = true
+            [crawl]
+            default_host_budget = 3
+            """
+        )
+    )
+    s = Settings.new(p, overrides={"crawl": {"max_retries": 5}})
+    assert s.general.debug is True                      # from file
+    assert s.crawl.default_host_budget == 3             # from file
+    assert s.crawl.max_retries == 5                     # override wins
+    assert s.abcd.landing_page_field.endswith("/URI")   # default preserved
+
+
+def test_settings_rejects_unknown_keys(tmp_path):
+    p = tmp_path / "s.toml"
+    p.write_text("[crawl]\nnot_a_knob = 1\n")
+    import pytest
+
+    with pytest.raises(ValueError):
+        Settings.new(p)
+
+
+def test_file_to_csv_golden(spark, tmp_path):
+    """--file-to-csv parity (main.rs:54-115): header in spec order, unit rows
+    only, NULL→empty, Rust float Display."""
+    import io
+    import zipfile
+
+    from crawlspark.csvsink import file_to_csv
+    from crawlspark.synth import LANDING_PAGE_FIELD, golden_fields
+    from test_extract import golden_xml
+
+    arch = tmp_path / "a.zip"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("x.xml", golden_xml())
+    arch.write_bytes(buf.getvalue())
+
+    out = file_to_csv(spark, str(arch), golden_fields(), LANDING_PAGE_FIELD)
+    lines = out.split("\n")
+    f = golden_fields()
+    assert lines[0] == ",".join(f.names)
+    # one unit row: dataset-level fields empty; floats via Rust Display
+    assert lines[1] == ",,,UNIT ID,10.911,49.911,TECHNICAL WGS84 EMAIL"
+    assert lines[2] == ""
+
+
+def test_streaming_discovery(spark, tmp_path):
+    import time
+
+    from crawlspark import schemas, synth
+    from crawlspark.streaming import discovered_urls_stream
+    from crawlspark.warehouse import Warehouse
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = synth.frontier_rows(40, 5)
+    spark.createDataFrame(rows, schemas.FRONTIER).write.mode("overwrite").parquet(
+        str(in_dir / "drop1")
+    )
+    robots = spark.createDataFrame(synth.robots_rows(5), schemas.ROBOTS)
+    wh = Warehouse(tmp_path / "wh")
+
+    q = discovered_urls_stream(
+        spark, str(in_dir / "drop1"), wh, robots, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    time.sleep(0.5)
+
+    out = wh.read_appends(spark, "discovered").collect()
+    assert out
+    # canonical urls, robots-blocked host3 '/p/9*' paths excluded, unique hashes
+    hashes = [r["url_hash"] for r in out]
+    assert len(hashes) == len(set(hashes))
+    assert all(r["curl"].startswith("https://host") for r in out)
