@@ -317,10 +317,19 @@ class Crawler:
             defer_host = cand.filter(F.col("host_rn") > budget)
             selected = cand.filter(F.col("host_rn") <= budget)
 
-        # 6. fetch: pages join, then cache fallback (src/main.rs:182-203)
-        fetchable = selected.join(self.pages_idx.drop("page_curl"), "url_hash", "left")
+        # 6. fetch: pages join, then cache fallback (src/main.rs:182-203).
+        #    SHUFFLE_HASH hint: the pages side carries the payload bytes —
+        #    Catalyst's size estimate (compressed parquet) would otherwise pick
+        #    a broadcast join and ship the whole page store to every executor
+        #    (OOM locally, absurd at 10^10 pages). Partitioned hash join on
+        #    url_hash is the scale-correct plan (bucketed index co-location on
+        #    a real cluster makes it shuffle-free on the pages side).
+        pages_side = self.pages_idx.drop("page_curl").hint("SHUFFLE_HASH")
+        fetchable = selected.join(pages_side, "url_hash", "left")
         if self.cache_idx is not None:
-            ci = self.cache_idx.select("url_hash", F.col("html").alias("cache_html"))
+            ci = self.cache_idx.select(
+                "url_hash", F.col("html").alias("cache_html")
+            ).hint("SHUFFLE_HASH")
             fetchable = fetchable.join(ci, "url_hash", "left").withColumn(
                 "html", F.coalesce(F.col("html"), F.col("cache_html"))
             ).drop("cache_html")
@@ -429,9 +438,7 @@ class Crawler:
         )
         bloom.add(new_hashes)
         tm.lap("bloom collect+add")
-        bloom_df = sp.createDataFrame(
-            bloom.to_rows(), ["bucket", "bitmap", "bits", "k", "n_buckets"]
-        )
+        bloom_df = sp.createDataFrame(bloom.to_rows(), schemas.BLOOM)
 
         tm.lap("bloom df")
         self.wh.commit_round(

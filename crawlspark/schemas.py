@@ -91,6 +91,16 @@ METRICS = StructType(
     ]
 )
 
+BLOOM = StructType(
+    [
+        StructField("bucket", IntegerType(), False),
+        StructField("bitmap", BinaryType(), False),
+        StructField("bits", LongType(), False),
+        StructField("k", IntegerType(), False),
+        StructField("n_buckets", IntegerType(), False),
+    ]
+)
+
 # per-partition lineage for a round's fetch stage (north_rule counters+lineage)
 LINEAGE = StructType(
     [
