@@ -77,7 +77,7 @@ from . import schemas
 from .canonical import canonicalize_expr, host_expr, url_hash_expr
 from .extract import extract_pages, split_dataset_units
 from .fields import AbcdFields
-from .seen import PartitionedBloom, dense_rank_range, split_new_vs_seen
+from .seen import PartitionedBloom, rank_and_key, split_new_vs_seen
 from .settings import Settings
 from .warehouse import Warehouse
 
@@ -148,8 +148,15 @@ class Crawler:
         self.fields = fields
         self.landing_base_url = landing_base_url
 
-        self.pages_idx = build_pages_index(pages)
-        self.cache_idx = build_pages_index(cache) if cache is not None else None
+        # the fetch index is materialized once (hash-layout parquet — the
+        # local stand-in for a bucketed Iceberg table): every round's plan
+        # then starts from a plain scan instead of re-optimizing the
+        # canonicalize+window index-build subtree (driver plan-compile time
+        # was the dominant *serial* cost per round)
+        self.pages_idx = self._materialize_index(pages, "pages_idx")
+        self.cache_idx = (
+            self._materialize_index(cache, "cache_idx") if cache is not None else None
+        )
         self.robots = robots
 
         # one-time dimension: the (name, hash) translation table
@@ -160,6 +167,14 @@ class Crawler:
         )
 
         self._seed = frontier_seed
+
+    # ------------------------------------------------------------------
+    def _materialize_index(self, df: DataFrame, name: str) -> DataFrame:
+        n = self.settings.crawl.seen_buckets
+        self.wh.write_once(
+            name, build_pages_index(df).repartition(n, "url_hash")
+        )
+        return self.wh.read_state(self.spark, name)
 
     # ------------------------------------------------------------------
     def _new_bloom(self) -> PartitionedBloom:
@@ -348,18 +363,19 @@ class Crawler:
         n_failed = c1.get("failed", 0)
 
         # 5. crawl order seq + 7. dense surrogate keys — skew-robust global
-        #    numbering via range repartition (seen.py dense_rank_range); the
-        #    host-partitioned two-level variant is equivalent but would put the
-        #    skewed host's whole batch in one task
+        #    numbering via ONE fused range repartition (seen.rank_and_key);
+        #    the host-partitioned two-level variant is equivalent but would
+        #    put the skewed host's whole batch in one task
         _pins: list = []
-        seq_df = dense_rank_range(
-            statused.select("curl", "chost", "priority", "warc_ts", "url",
+        ranked = rank_and_key(
+            statused.select("curl", "url_hash", "chost", "priority", "warc_ts", "url",
                             (F.col("disposition") == "fetched").alias("is_fetched")),
             ["chost", "priority", "warc_ts", "curl"],
-            out_col="seq",
+            fetched_col="is_fetched",
+            key_offset=next_key - 1,
             keep=_pins,
         )
-        crawl_log = seq_df.select(
+        crawl_log = ranked.select(
             F.lit(round_).alias("round"),
             "seq",
             F.col("curl").alias("url"),
@@ -368,14 +384,7 @@ class Crawler:
         )
 
         fetched = statused.filter(F.col("disposition") == "fetched")
-        keyed = dense_rank_range(
-            fetched.select("curl", "url_hash", "chost", "priority", "warc_ts", "url"),
-            ["chost", "priority", "warc_ts", "curl"],
-            out_col="surrogate_key",
-            offset=next_key - 1,
-            keep=_pins,
-        )
-        new_seen = keyed.select(
+        new_seen = ranked.filter(F.col("is_fetched")).select(
             F.col("curl").alias("url"), "url_hash", "surrogate_key",
             F.lit(round_).alias("first_round"),
         )

@@ -201,6 +201,57 @@ def dense_rank_range(
     return out
 
 
+def rank_and_key(
+    df: DataFrame,
+    order_cols: list[str],
+    fetched_col: str = "is_fetched",
+    key_offset: int = 0,
+    keep: list | None = None,
+) -> DataFrame:
+    """Fused global numbering: one range shuffle produces BOTH the crawl-order
+    ``seq`` (dense over all rows) and the dense ``surrogate_key`` over the
+    fetched subset (first-seen order), continuing from ``key_offset``.
+
+    Same exactness/skew properties as dense_rank_range; halves the per-round
+    shuffle + plan-compile cost of the two separate rankings.
+    """
+    oc = [F.col(c).asc() for c in order_cols]
+    d = (
+        df.repartitionByRange(*oc)
+        .sortWithinPartitions(*oc)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    if keep is not None:
+        keep.append(d)
+    fint = F.col(fetched_col).cast("long")
+    counts = d.groupBy("_pid").agg(
+        F.count("*").alias("_n"), F.sum(fint).alias("_nf")
+    )
+    w_cum = Window.orderBy(F.col("_pid").asc()).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_cum), F.lit(0)).alias("_off"),
+        F.coalesce(F.sum("_nf").over(w_cum), F.lit(0)).alias("_foff"),
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*oc)
+    out = (
+        d.withColumn("_rn", F.row_number().over(w_local))
+        .withColumn("_frn", F.sum(fint).over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("seq", (F.col("_rn") + F.col("_off")).cast("long"))
+        .withColumn(
+            "surrogate_key",
+            F.when(
+                F.col(fetched_col),
+                (F.col("_frn") + F.col("_foff") + F.lit(key_offset)).cast("long"),
+            ),
+        )
+        .drop("_pid", "_rn", "_frn", "_off", "_foff")
+    )
+    return out
+
+
 def dense_rank_two_level(
     df: DataFrame,
     part_col: str,

@@ -52,6 +52,24 @@ def _ranks(rows):
     return {r["k"]: r["seq"] for r in rows}
 
 
+def test_rank_and_key_fused(spark):
+    from crawlspark.seen import rank_and_key
+
+    data = [(f"h{i % 5}", i % 3, i % 2 == 0, f"k{i:03d}") for i in range(57)]
+    df = spark.createDataFrame(data, ["host", "priority", "is_fetched", "k"])
+    out = {r["k"]: (r["seq"], r["surrogate_key"])
+           for r in rank_and_key(df, ["host", "priority", "k"], key_offset=100).collect()}
+    ordered = sorted(data, key=lambda t: (t[0], t[1], t[3]))
+    frank = 0
+    for seq, row in enumerate(ordered, start=1):
+        k, fetched = row[3], row[2]
+        if fetched:
+            frank += 1
+            assert out[k] == (seq, 100 + frank)
+        else:
+            assert out[k] == (seq, None)
+
+
 def test_dense_rank_variants_agree(spark):
     data = [(f"h{i % 5}", i % 3, i, f"k{i:03d}") for i in range(97)]
     df = spark.createDataFrame(data, ["host", "priority", "i", "k"])
