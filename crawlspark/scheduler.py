@@ -287,22 +287,6 @@ class Crawler:
         else:
             budget = F.coalesce(F.col("max_per_round"), F.lit(s.default_host_budget))
 
-        # one aggregate for the drop + eligibility counters
-        drop_counts = base.agg(
-            F.sum(F.when(F.col("blocked"), 1).otherwise(0)).alias("blocked"),
-            F.sum(F.when(~F.col("blocked") & F.col("is_seen"), 1).otherwise(0)).alias("dup_seen"),
-            F.sum(
-                F.when(~F.col("blocked") & ~F.col("is_seen") & (F.col("dup_rn") > 1), 1).otherwise(0)
-            ).alias("dup_batch"),
-            F.sum(
-                F.when(~F.col("blocked") & ~F.col("is_seen") & (F.col("dup_rn") == 1), 1).otherwise(0)
-            ).alias("elig"),
-        ).collect()[0]
-        tm.lap("base+robots+seen+dup agg")
-        n_blocked = drop_counts["blocked"] or 0
-        n_dedup = (drop_counts["dup_seen"] or 0) + (drop_counts["dup_batch"] or 0)
-        n_elig = drop_counts["elig"] or 0
-
         # 4. politeness: two-phase exact per-host top-k over ELIGIBLE rows only
         #    (windows must see only eligible rows — a masked row_number would
         #    still count ineligible partition members)
@@ -356,11 +340,37 @@ class Crawler:
         ).persist()
 
         tm.lap("politeness+fetch plan")
-        c1 = {r["disposition"]: r["count"] for r in statused.groupBy("disposition").count().collect()}
-        tm.lap("statused counts")
+        # ALL round counters in ONE action: non-selected dispositions union the
+        # selected/fetch-statused ones (each branch reads a cached parent) —
+        # the drop/eligibility/fetch aggregates previously cost three barriers
+        rest_disp = (
+            F.when(F.col("blocked"), "blocked")
+            .when(F.col("is_seen"), "dup_seen")
+            .otherwise("dup_batch")
+        )
+        rest = base.filter(
+            F.col("blocked") | F.col("is_seen") | (F.col("dup_rn") > 1)
+        ).select(rest_disp.alias("disposition"))
+        deferred_disp = (
+            defer_salt.select(F.lit("deferred").alias("disposition"))
+            .unionByName(defer_host.select(F.lit("deferred").alias("disposition")))
+        )
+        c1 = {
+            r["disposition"]: r["count"]
+            for r in statused.select("disposition")
+            .unionByName(rest)
+            .unionByName(deferred_disp)
+            .groupBy("disposition")
+            .count()
+            .collect()
+        }
+        tm.lap("all counters")
         n_fetched = c1.get("fetched", 0)
         n_retried = c1.get("retried", 0)
         n_failed = c1.get("failed", 0)
+        n_blocked = c1.get("blocked", 0)
+        n_dedup = c1.get("dup_seen", 0) + c1.get("dup_batch", 0)
+        n_deferred = c1.get("deferred", 0)
 
         # 5. crawl order seq + 7. dense surrogate keys — skew-robust global
         #    numbering via ONE fused range repartition (seen.rank_and_key);
@@ -409,10 +419,22 @@ class Crawler:
         datasets = datasets.join(key_map, "url", "left")
         units = units.join(key_map, "url", "left")
 
-        metrics = sp.createDataFrame(
-            [(round_, n_fetched, n_dedup, n_blocked, n_retried, n_failed,
-              n_fetched, n_datasets, n_units)],
-            schemas.METRICS,
+        # the 1-row metrics record is pure driver data — written with pyarrow
+        # directly (no Spark job), schema matching schemas.METRICS
+        import pyarrow as pa
+
+        metrics_tbl = pa.table(
+            {
+                "round": pa.array([round_], pa.int32()),
+                "fetched": pa.array([n_fetched], pa.int64()),
+                "deduped": pa.array([n_dedup], pa.int64()),
+                "robots_blocked": pa.array([n_blocked], pa.int64()),
+                "retried": pa.array([n_retried], pa.int64()),
+                "failed": pa.array([n_failed], pa.int64()),
+                "new_urls": pa.array([n_fetched], pa.int64()),
+                "datasets": pa.array([n_datasets], pa.int64()),
+                "units": pa.array([n_units], pa.int64()),
+            }
         )
 
         # per-partition lineage of the fetch stage (north_rule counters+lineage)
@@ -455,16 +477,14 @@ class Crawler:
             snapshots={"frontier": new_frontier, "seen": new_seen_all, "bloom": bloom_df},
             appends={
                 "crawl_log": crawl_log,
-                "metrics": metrics,
                 "lineage": lineage,
                 "datasets": datasets,
                 "units": units,
             },
+            local_appends={"metrics": metrics_tbl},
         )
 
         tm.lap("commit")
-        n_selected = n_fetched + n_retried + n_failed
-        n_deferred = n_elig - n_selected
         for df in (base, elig, cand, statused, extracted, *_pins):
             df.unpersist()
 

@@ -57,8 +57,13 @@ class Warehouse:
         round_: int,
         snapshots: dict[str, DataFrame] | None = None,
         appends: dict[str, DataFrame] | None = None,
+        local_appends: dict[str, "object"] | None = None,
     ) -> bool:
         """Write all tables for a round, then publish atomically.
+
+        ``local_appends`` maps table name → pyarrow Table for tiny
+        driver-side facts (e.g. the 1-row metrics record) — written directly
+        with pyarrow, no Spark job.
 
         Returns False (no-op) if the round is already committed — idempotent
         re-commit for resume.
@@ -66,6 +71,23 @@ class Warehouse:
         m = self.manifest()
         if round_ <= m["last_round"]:
             return False
+
+        import pyarrow.parquet as pq
+
+        for name, table in (local_appends or {}).items():
+            final = self._round_dir(name, round_)
+            final.parent.mkdir(parents=True, exist_ok=True)
+            staging = final.parent / f"_staging_r{round_:06d}"
+            if staging.exists():
+                shutil.rmtree(staging)
+            staging.mkdir()
+            pq.write_table(table, staging / "part-0.parquet")
+            if final.exists():
+                shutil.rmtree(final)
+            os.rename(staging, final)
+            t = m["tables"].setdefault(name, {"kind": "append", "rounds": []})
+            if round_ not in t["rounds"]:
+                t["rounds"].append(round_)
 
         import time as _time
 
