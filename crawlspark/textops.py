@@ -80,10 +80,12 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (a<b) via banded MinHash, verified with exact
     shingle-set Jaccard (no false positives in the output)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(documents, num_hashes, shingle_n)
+    sig = minhash_signature(documents, num_hashes, shingle_n).persist()
+    # the band self-join carries ONLY (doc_id, band, bucket) — shuffling the
+    # shingle arrays through the join/dedup costs ~50x more; shingles are
+    # re-attached to the (few) surviving pairs afterwards
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -103,24 +105,24 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
-            F.col("l.shingles").alias("sa"),
-            F.col("r.shingles").alias("sb"),
-        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .dropDuplicates(["a", "b"])
+    )
+    sh = sig.select("doc_id", "shingles")
+    cand = (
+        pairs.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("shingles", "sa"), "a")
+        .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("shingles", "sb"), "b")
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size(F.array_union("sa", "sb"))
