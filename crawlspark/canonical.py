@@ -40,7 +40,11 @@ from pyspark.sql import functions as F
 # expression tree (6 passes × 6 regexes) cheap to analyze/codegen
 DOT_PASSES = 6
 
-_UNRESERVED = "^[A-Za-z0-9._~-]$"
+# unreserved ASCII classified from the (uppercased) hex pair itself — the
+# byte is never decoded, so multi-byte/invalid UTF-8 escapes (%C3, %FF) can't
+# throw (Spark 4 MALFORMED_CHARACTER_CODING) and are kept verbatim:
+# 30-39 digits, 41-5A upper, 61-7A lower, 2D '-', 2E '.', 5F '_', 7E '~'
+_UNRESERVED_HEX = "^(3[0-9]|4[1-9A-F]|5[0-9A]|6[1-9A-F]|7[0-9A]|2D|2E|5F|7E)$"
 _HEX2 = "^[0-9A-Fa-f]{2}"
 
 # one dot-segment pass = these regexes applied in order, replace-all,
@@ -67,10 +71,12 @@ def _percent_normalize_expr(url: Column) -> Column:
     def norm_piece(p: Column) -> Column:
         hex2 = F.upper(F.substring(p, 1, 2))
         rest = F.substr(p, F.lit(3), F.length(p))
-        ch = F.decode(F.unhex(hex2), "UTF-8")
+        # ASCII code point from the hex pair — only ever evaluated for the
+        # unreserved set above, so no byte decoding happens at all
+        ch = F.char(F.conv(hex2, 16, 10).cast("int"))
         is_hex = p.rlike(_HEX2)
         return (
-            F.when(is_hex & ch.rlike(_UNRESERVED), F.concat(ch, rest))
+            F.when(is_hex & hex2.rlike(_UNRESERVED_HEX), F.concat(ch, rest))
             .when(is_hex, F.concat(F.lit("%"), hex2, rest))
             .otherwise(F.concat(F.lit("%"), p))
         )
@@ -133,9 +139,8 @@ def _percent_normalize_py(url: str) -> str:
         if re.match(_HEX2, p):
             hex2 = p[:2].upper()
             rest = p[2:]
-            ch = bytes.fromhex(hex2).decode("utf-8", errors="replace")
-            if re.match(_UNRESERVED, ch):
-                out.append(ch + rest)
+            if re.match(_UNRESERVED_HEX, hex2):
+                out.append(chr(int(hex2, 16)) + rest)
             else:
                 out.append("%" + hex2 + rest)
         else:

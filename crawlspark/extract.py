@@ -237,7 +237,17 @@ def extract_pages(
                 for d in frozen
             ]
         )
-        for pdf in batches:
+        # yield an output frame per small input SLICE, not per Arrow batch:
+        # Spark 4's PythonRunner reader busy-polls its selector while a task's
+        # input is fully written and no output has arrived (verified on this
+        # build: 16 executor threads each burning a full core in
+        # EPoll.wait/PythonRunner.read while the workers starved). Streaming
+        # output every few hundred pages keeps the JVM side reading instead
+        # of spinning, and bounds per-slice memory.
+        slice_rows = 400
+        for whole in batches:
+          for lo in range(0, len(whole), slice_rows):
+            pdf = whole.iloc[lo : lo + slice_rows]
             rows: list[dict] = []
 
             def emit(url, provider, member_index, kind, unit_index, status, error,

@@ -54,8 +54,6 @@ import sys
 import time
 from dataclasses import dataclass
 
-import numpy as np
-
 _TIMING = os.environ.get("CRAWLSPARK_TIMING") == "1"
 
 
@@ -77,7 +75,12 @@ from . import schemas
 from .canonical import canonicalize_expr, host_expr, url_hash_expr
 from .extract import extract_pages, split_dataset_units
 from .fields import AbcdFields
-from .seen import PartitionedBloom, rank_and_key, split_new_vs_seen
+from .seen import (
+    PartitionedBloom,
+    distributed_bloom_update,
+    rank_and_key,
+    split_new_vs_seen,
+)
 from .settings import Settings
 from .warehouse import Warehouse
 
@@ -103,11 +106,15 @@ def enrich(df: DataFrame) -> DataFrame:
 
 def build_pages_index(pages: DataFrame) -> DataFrame:
     """Canonical fetchable-pages index, one row per canonical url (first by
-    warc_ts, url). At cluster scale this is a bucketed Iceberg table keyed by
-    url_hash (the fetch join is then co-located); locally a parquet snapshot
-    with the same layout."""
+    warc_ts, url). Keyed on (url_hash, canonical url) — the hash is the
+    shuffle/bucket key, the string disambiguates xxhash64 collisions (expected
+    at the 10^10-URL design point by birthday bound). At cluster scale this is
+    a bucketed Iceberg table keyed by url_hash (the fetch join is then
+    co-located); locally a parquet snapshot with the same layout."""
     p = enrich(pages.select("url", "warc_ts", "html"))
-    w = Window.partitionBy("url_hash").orderBy(F.col("warc_ts").asc(), F.col("url").asc())
+    w = Window.partitionBy("url_hash", "curl").orderBy(
+        F.col("warc_ts").asc(), F.col("url").asc()
+    )
     return (
         p.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -273,14 +280,17 @@ class Crawler:
             ),
         )
 
-        # 3. seen-set membership (bloom-routed exact confirm, seen.py)
-        base = split_new_vs_seen(base, seen, bloom if s.bloom_enabled else None)
-
         # in-batch duplicate canonicals — blocked/is_seen are functions of curl,
         # so every row of a curl-partition shares them and the window may run
-        # over the full partition
+        # over the full partition. The window's shuffle runs BEFORE the bloom
+        # probe on purpose: a pandas UDF directly above a file scan triggers
+        # Spark 4's PythonRunner selector-spin (see extract.py); fed from the
+        # window's exchange instead, the probe streams.
         w_dup = Window.partitionBy("curl").orderBy(*[F.col(c).asc() for c in ORDER])
-        base = base.withColumn("dup_rn", F.row_number().over(w_dup)).persist()
+        base = base.withColumn("dup_rn", F.row_number().over(w_dup))
+
+        # 3. seen-set membership (bloom-routed exact confirm, seen.py)
+        base = split_new_vs_seen(base, seen, bloom if s.bloom_enabled else None).persist()
 
         if s.budget_override is not None:  # bulk/bench mode
             budget = F.lit(s.budget_override)
@@ -316,33 +326,104 @@ class Crawler:
             defer_host = cand.filter(F.col("host_rn") > budget)
             selected = cand.filter(F.col("host_rn") <= budget)
 
-        # 6. fetch: pages join, then cache fallback (src/main.rs:182-203).
-        #    SHUFFLE_HASH hint: the pages side carries the payload bytes —
-        #    Catalyst's size estimate (compressed parquet) would otherwise pick
-        #    a broadcast join and ship the whole page store to every executor
-        #    (OOM locally, absurd at 10^10 pages). Partitioned hash join on
-        #    url_hash is the scale-correct plan (bucketed index co-location on
-        #    a real cluster makes it shuffle-free on the pages side).
-        pages_side = self.pages_idx.drop("page_curl").hint("SHUFFLE_HASH")
-        fetchable = selected.join(pages_side, "url_hash", "left")
+        # 6. fetch PROBE: payload-free hit test. The pages index is joined
+        #    WITHOUT its html column (parquet column pruning ⇒ no payload IO
+        #    or shuffle here); the hit is confirmed on the canonical-url
+        #    STRING, so an xxhash64 collision can never fetch another page's
+        #    html (reference dedups on the exact id string,
+        #    src/storage/surrogate_key.rs:24-34).
+        #    SHUFFLE_HASH hint: Catalyst's size estimate would otherwise pick
+        #    broadcast for the (compressed-parquet-small) index — wrong at
+        #    10^10 pages; partitioned hash join on url_hash is the plan a
+        #    bucketed Iceberg index makes shuffle-free on the pages side.
+        probe = self.pages_idx.select(
+            F.col("url_hash").alias("p_hash"), "page_curl"
+        ).hint("SHUFFLE_HASH")
+        statused = (
+            selected.join(probe, (F.col("url_hash") == F.col("p_hash"))
+                          & (F.col("curl") == F.col("page_curl")), "left")
+            .withColumn("has_page", F.col("page_curl").isNotNull())
+            .drop("p_hash", "page_curl")
+        )
         if self.cache_idx is not None:
-            ci = self.cache_idx.select(
-                "url_hash", F.col("html").alias("cache_html")
+            cprobe = self.cache_idx.select(
+                F.col("url_hash").alias("c_hash"),
+                F.col("page_curl").alias("cache_curl"),
             ).hint("SHUFFLE_HASH")
-            fetchable = fetchable.join(ci, "url_hash", "left").withColumn(
-                "html", F.coalesce(F.col("html"), F.col("cache_html"))
-            ).drop("cache_html")
-        statused = fetchable.withColumn(
+            statused = (
+                statused.join(cprobe, (F.col("url_hash") == F.col("c_hash"))
+                              & (F.col("curl") == F.col("cache_curl")), "left")
+                .withColumn("has_cache", F.col("cache_curl").isNotNull())
+                .drop("c_hash", "cache_curl")
+            )
+        else:
+            statused = statused.withColumn("has_cache", F.lit(False))
+        statused = statused.withColumn(
             "disposition",
-            F.when(F.col("html").isNotNull(), "fetched")
+            F.when(F.col("has_page") | F.col("has_cache"), "fetched")
             .when(F.col("retries") < F.lit(s.max_retries), "retried")
             .otherwise("failed"),
         ).persist()
 
+        # 6b + 8. fetch PAYLOAD → extraction, one pipelined pass: html bytes
+        #    flow parquet scan → hash join → mapInPandas inside a single stage
+        #    chain and are never cached or re-shuffled (the round's only
+        #    payload traffic). Cache fallback = src/main.rs:182-203.
+        fetched_keys = statused.filter(F.col("disposition") == "fetched").select(
+            "curl", "url_hash", "provider"
+        )
+        pg = self.pages_idx.select(
+            F.col("url_hash").alias("p_hash"), "page_curl", "html"
+        ).hint("SHUFFLE_HASH")
+        feed = (
+            fetched_keys.join(pg, (F.col("url_hash") == F.col("p_hash"))
+                              & (F.col("curl") == F.col("page_curl")), "left")
+            .drop("p_hash", "page_curl")
+        )
+        if self.cache_idx is not None:
+            cp = self.cache_idx.select(
+                F.col("url_hash").alias("c_hash"),
+                F.col("page_curl").alias("c_curl"),
+                F.col("html").alias("c_html"),
+            ).hint("SHUFFLE_HASH")
+            feed = (
+                feed.join(cp, (F.col("url_hash") == F.col("c_hash"))
+                          & (F.col("curl") == F.col("c_curl")), "left")
+                .withColumn("html", F.coalesce(F.col("html"), F.col("c_html")))
+                .drop("c_hash", "c_curl", "c_html")
+            )
+        extracted = extract_pages(
+            feed.select(F.col("curl").alias("url"), "html", "provider")
+            .repartition(int(sp.conf.get("spark.sql.shuffle.partitions"))),
+            self.fields,
+            self.settings.abcd.landing_page_field,
+            self.landing_base_url,
+        ).persist()
+
+        # 5. crawl order seq + 7. dense surrogate keys — skew-robust global
+        #    numbering via ONE fused range repartition (seen.rank_and_key);
+        #    the host-partitioned two-level variant is equivalent but would
+        #    put the skewed host's whole batch in one task. ``ranked`` is
+        #    persisted and force-materialized INSIDE the counters action
+        #    below: its four consumers (crawl_log, seen, both key_map joins)
+        #    run as concurrent commit writes, and a lazily-materialized cache
+        #    would serialize them on the cache-fill lock.
+        _pins: list = []
+        ranked = rank_and_key(
+            statused.select("curl", "url_hash", "chost", "priority", "warc_ts", "url",
+                            (F.col("disposition") == "fetched").alias("is_fetched")),
+            ["chost", "priority", "warc_ts", "curl"],
+            fetched_col="is_fetched",
+            key_offset=next_key - 1,
+            keep=_pins,
+        ).persist()
+        _pins.append(ranked)
+
         tm.lap("politeness+fetch plan")
         # ALL round counters in ONE action: non-selected dispositions union the
-        # selected/fetch-statused ones (each branch reads a cached parent) —
-        # the drop/eligibility/fetch aggregates previously cost three barriers
+        # selected/fetch-statused ones AND the extraction kinds (each branch
+        # reads a cached parent) — drop/eligibility/fetch/extraction counts
+        # previously cost separate barriers
         rest_disp = (
             F.when(F.col("blocked"), "blocked")
             .when(F.col("is_seen"), "dup_seen")
@@ -355,11 +436,16 @@ class Crawler:
             defer_salt.select(F.lit("deferred").alias("disposition"))
             .unionByName(defer_host.select(F.lit("deferred").alias("disposition")))
         )
+        ex_kinds = extracted.select(
+            F.concat(F.lit("x_"), F.col("kind")).alias("disposition")
+        )
         c1 = {
             r["disposition"]: r["count"]
             for r in statused.select("disposition")
             .unionByName(rest)
             .unionByName(deferred_disp)
+            .unionByName(ex_kinds)
+            .unionByName(ranked.select(F.lit("x_ranked").alias("disposition")))
             .groupBy("disposition")
             .count()
             .collect()
@@ -371,20 +457,9 @@ class Crawler:
         n_blocked = c1.get("blocked", 0)
         n_dedup = c1.get("dup_seen", 0) + c1.get("dup_batch", 0)
         n_deferred = c1.get("deferred", 0)
+        n_datasets = c1.get("x_dataset", 0)
+        n_units = c1.get("x_unit", 0)
 
-        # 5. crawl order seq + 7. dense surrogate keys — skew-robust global
-        #    numbering via ONE fused range repartition (seen.rank_and_key);
-        #    the host-partitioned two-level variant is equivalent but would
-        #    put the skewed host's whole batch in one task
-        _pins: list = []
-        ranked = rank_and_key(
-            statused.select("curl", "url_hash", "chost", "priority", "warc_ts", "url",
-                            (F.col("disposition") == "fetched").alias("is_fetched")),
-            ["chost", "priority", "warc_ts", "curl"],
-            fetched_col="is_fetched",
-            key_offset=next_key - 1,
-            keep=_pins,
-        )
         crawl_log = ranked.select(
             F.lit(round_).alias("round"),
             "seq",
@@ -393,26 +468,10 @@ class Crawler:
             F.col("is_fetched").alias("fetched"),
         )
 
-        fetched = statused.filter(F.col("disposition") == "fetched")
         new_seen = ranked.filter(F.col("is_fetched")).select(
             F.col("curl").alias("url"), "url_hash", "surrogate_key",
             F.lit(round_).alias("first_round"),
         )
-
-        # 8. extraction — the one Python crossing
-        extracted = extract_pages(
-            fetched.select(F.col("curl").alias("url"), "html", "provider"),
-            self.fields,
-            self.settings.abcd.landing_page_field,
-            self.landing_base_url,
-        ).persist()
-        ex_counts = extracted.agg(
-            F.sum(F.when(F.col("kind") == "dataset", 1).otherwise(0)).alias("d"),
-            F.sum(F.when(F.col("kind") == "unit", 1).otherwise(0)).alias("u"),
-        ).collect()[0]
-        tm.lap("extraction agg")
-        n_datasets = ex_counts["d"] or 0
-        n_units = ex_counts["u"] or 0
 
         datasets, units = split_dataset_units(extracted, self.fields)
         key_map = new_seen.select("url", "surrogate_key")
@@ -461,32 +520,54 @@ class Crawler:
         new_frontier = deferred.unionByName(retried_rows)
         new_seen_all = seen.unionByName(new_seen)
 
-        # update bloom with this round's new hashes (driver-side at local
-        # scale; per-bucket distributed build at 10^10 — see seen.py)
+        # update bloom with this round's new hashes — EXECUTOR-side per-bucket
+        # bitmap OR-aggregation (seen.distributed_bloom_update); the driver
+        # never collects url hashes. The cogroup job runs inside the commit's
+        # parallel write wave.
         tm.lap("pre-bloom")
-        new_hashes = np.array(
-            [r["url_hash"] for r in new_seen.select("url_hash").collect()], dtype=np.int64
+        prev_bloom_df = (
+            self.wh.read_state(sp, "bloom")
+            if self.wh.has_table("bloom")
+            else (sp.createDataFrame(bloom.to_rows(), schemas.BLOOM) if bloom.bitmaps else None)
         )
-        bloom.add(new_hashes)
-        tm.lap("bloom collect+add")
-        bloom_df = sp.createDataFrame(bloom.to_rows(), schemas.BLOOM)
+        bloom_df = distributed_bloom_update(
+            new_seen.select("url_hash"),
+            prev_bloom_df,
+            s.bloom_bits,
+            s.bloom_hashes,
+            s.seen_buckets,
+        )
+        tm.lap("bloom plan")
 
-        tm.lap("bloom df")
+        # sort-on-write (S21, the reference's post-load CLUSTER analog,
+        # src/storage/database_sink.rs:408-489): committed dataset/unit files
+        # are ordered by surrogate_key; footer stats land in the manifest
         self.wh.commit_round(
             round_,
             snapshots={"frontier": new_frontier, "seen": new_seen_all, "bloom": bloom_df},
             appends={
                 "crawl_log": crawl_log,
                 "lineage": lineage,
-                "datasets": datasets,
-                "units": units,
+                "datasets": datasets.sortWithinPartitions("surrogate_key"),
+                "units": units.sortWithinPartitions("surrogate_key"),
             },
             local_appends={"metrics": metrics_tbl},
+            stats_cols={"datasets": ["surrogate_key"], "units": ["surrogate_key"]},
         )
 
         tm.lap("commit")
         for df in (base, elig, cand, statused, extracted, *_pins):
             df.unpersist()
+        # next round's bloom probe: rebuild from the committed (tiny) bitmap
+        # table — correct on both the normal and the idempotent-re-commit path
+        brows = self.wh.read_state(sp, "bloom").collect()
+        bloom = (
+            PartitionedBloom.from_rows(
+                [(r["bucket"], r["bitmap"], r["bits"], r["k"], r["n_buckets"]) for r in brows]
+            )
+            if brows
+            else self._new_bloom()
+        )
 
         # re-read committed state so the next round's plan starts from files,
         # not from an ever-growing lineage

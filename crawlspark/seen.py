@@ -140,22 +140,96 @@ def split_new_vs_seen(
     seen: DataFrame,
     bloom: PartitionedBloom | None,
     hash_col: str = "url_hash",
+    url_col: str | None = None,
 ) -> DataFrame:
     """Adds ``is_seen`` boolean: exact membership of batch[hash_col] in seen.
 
     Bloom-negative rows bypass the join (provably new); bloom-positive rows are
     confirmed with a left-semi/anti join pair expressed as a left join on the
     deduplicated seen keys — one shuffle over only the candidate subset.
+
+    Membership is confirmed on the canonical-URL *string*, not the 64-bit hash
+    alone (at a 10^10-URL seen set the birthday bound expects ~3 xxhash64
+    collisions; the reference dedups on the exact id string,
+    /root/reference/src/storage/surrogate_key.rs:24-34). The hash stays the
+    shuffle/bucket key; the string equality is a post-join filter.
     """
+    if url_col is None:
+        url_col = "curl" if "curl" in batch.columns else (
+            "url" if "url" in batch.columns and "url" in seen.columns else None
+        )
     maybe = batch.withColumn("_maybe", bloom_filter_column(bloom, hash_col))
-    seen_keys = seen.select(F.col(hash_col).alias("_seen_hash")).distinct()
-    joined = maybe.join(
-        seen_keys,
-        (F.col("_maybe")) & (F.col(hash_col) == F.col("_seen_hash")),
-        "left",
-    )
+    confirm_cols = [F.col(hash_col).alias("_seen_hash")]
+    cond = F.col("_maybe") & (F.col(hash_col) == F.col("_seen_hash"))
+    if url_col is not None:
+        confirm_cols.append(F.col("url").alias("_seen_url"))
+        cond = cond & (F.col(url_col) == F.col("_seen_url"))
+    seen_keys = seen.select(*confirm_cols).distinct()
+    joined = maybe.join(seen_keys, cond, "left")
     return joined.withColumn("is_seen", F.col("_seen_hash").isNotNull()).drop(
-        "_maybe", "_seen_hash"
+        "_maybe", "_seen_hash", *(["_seen_url"] if url_col is not None else [])
+    )
+
+
+def distributed_bloom_update(
+    new_hashes: DataFrame,
+    prev_bloom: DataFrame | None,
+    bits: int,
+    k: int,
+    n_buckets: int,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Executor-side Bloom build: per-bucket bitmap OR-aggregation.
+
+    The driver never touches url hashes — each bucket's group (this round's
+    hashes routed by ``url_hash & (n_buckets-1)``, cogrouped with the bucket's
+    previous bitmap row) ORs its bits inside one Arrow-batched task. At 10^10
+    URLs this is one shuffle of the new hashes plus n_buckets tiny bitmap rows;
+    output is a BLOOM-schema frame (one row per touched bucket).
+
+    ``n_buckets`` must be a power of two so the signed bitwise-AND bucket key
+    matches the uint64 modulo PartitionedBloom uses internally.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    from . import schemas
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    hb = new_hashes.select(
+        F.col(hash_col).bitwiseAND(F.lit(n_buckets - 1)).cast("int").alias("bucket"),
+        F.col(hash_col).alias("h"),
+    )
+    prev = (
+        prev_bloom.select("bucket", "bitmap")
+        if prev_bloom is not None
+        else spark.createDataFrame([], schemas.BLOOM).select("bucket", "bitmap")
+    )
+
+    def merge(key, new_pdf: pd.DataFrame, prev_pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        if len(prev_pdf):
+            bl = PartitionedBloom.from_rows(
+                [(bucket, prev_pdf["bitmap"].iloc[0], bits, k, n_buckets)]
+            )
+        else:
+            bl = PartitionedBloom(bits, k, n_buckets)
+        if len(new_pdf):
+            bl.add(new_pdf["h"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "bitmap": [bl._bitmap(bucket).tobytes()],
+                "bits": [bits],
+                "k": [k],
+                "n_buckets": [n_buckets],
+            }
+        )
+
+    return (
+        hb.groupBy("bucket")
+        .cogroup(prev.groupBy("bucket"))
+        .applyInPandas(merge, schemas.BLOOM)
     )
 
 

@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # smaller Arrow batches keep the JVM↔Python pipe streaming: with the
+        # default 10k the PythonRunner reader busy-polls (sys-time selector
+        # spin) for the whole first-batch latency of a heavy UDF — measured
+        # as a 16-thread death spiral in the crawl bench on this build
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("CRAWLSPARK_DRIVER_MEM", "8g"))

@@ -41,6 +41,11 @@ def discovered_urls_stream(
     unseen urls appended to the warehouse (micro-batch via foreachBatch so
     the batch primitives — enrich/anti-join/commit — are reused verbatim)."""
     stream = frontier_stream(spark, input_dir)
+    # commits are keyed on batch_id (offset by the warehouse's state at stream
+    # start): a Spark micro-batch RETRY redelivers the same batch_id, maps to
+    # the same round number, and hits commit_round's idempotent no-op — a
+    # fresh last_round()+1 per attempt would append the batch twice
+    base_round = warehouse.last_round()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         seen = warehouse.read_state(spark, "seen", schemas.SEEN)
@@ -60,7 +65,7 @@ def discovered_urls_stream(
         ).dropDuplicates(["url_hash"])
         # append via the warehouse so batch and streaming share the commit path
         warehouse.commit_round(
-            warehouse.last_round() + 1, appends={out_table: out}
+            base_round + int(batch_id) + 1, appends={out_table: out}
         )
 
     return (

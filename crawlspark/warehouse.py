@@ -58,12 +58,23 @@ class Warehouse:
         snapshots: dict[str, DataFrame] | None = None,
         appends: dict[str, DataFrame] | None = None,
         local_appends: dict[str, "object"] | None = None,
+        stats_cols: dict[str, list[str]] | None = None,
     ) -> bool:
         """Write all tables for a round, then publish atomically.
 
         ``local_appends`` maps table name → pyarrow Table for tiny
         driver-side facts (e.g. the 1-row metrics record) — written directly
         with pyarrow, no Spark job.
+
+        ``stats_cols`` maps table name → columns whose per-round min/max (plus
+        the row count) are recorded in the manifest from the parquet footers —
+        the ANALYZE analog of the reference's post-load step
+        (src/storage/database_sink.rs:408-489); no data is re-read.
+
+        The per-table Spark writes run CONCURRENTLY (one thread each): Spark's
+        scheduler interleaves the jobs across the same executors, so the
+        driver-side job-submission overhead of k tables costs max(k) instead
+        of sum(k) — this was the dominant serial fraction of a crawl round.
 
         Returns False (no-op) if the round is already committed — idempotent
         re-commit for resume.
@@ -90,43 +101,88 @@ class Warehouse:
                 t["rounds"].append(round_)
 
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
 
         timing = os.environ.get("CRAWLSPARK_TIMING") == "1"
-        written: list[tuple[str, str, Path]] = []
-        for kind, tables in (("snapshot", snapshots or {}), ("append", appends or {})):
-            for name, df in tables.items():
-                t0 = _time.time()
-                final = self._round_dir(name, round_)
-                staging = final.parent / f"_staging_r{round_:06d}"
-                if staging.exists():
-                    shutil.rmtree(staging)
-                final.parent.mkdir(parents=True, exist_ok=True)
-                df.write.mode("overwrite").parquet(str(staging))
-                if final.exists():  # crashed post-rename pre-manifest: replace
-                    shutil.rmtree(final)
-                os.rename(staging, final)
-                written.append((kind, name, final))
-                if timing:
-                    import sys as _sys
+        jobs = [
+            (kind, name, df)
+            for kind, tables in (("snapshot", snapshots or {}), ("append", appends or {}))
+            for name, df in tables.items()
+        ]
 
-                    _sys.stderr.write(
-                        f"[timing commit] {name}: {_time.time() - t0:.2f}s\n"
-                    )
+        def write_one(job):
+            kind, name, df = job
+            t0 = _time.time()
+            final = self._round_dir(name, round_)
+            staging = final.parent / f"_staging_r{round_:06d}"
+            if staging.exists():
+                shutil.rmtree(staging)
+            final.parent.mkdir(parents=True, exist_ok=True)
+            df.write.mode("overwrite").parquet(str(staging))
+            if final.exists():  # crashed post-rename pre-manifest: replace
+                shutil.rmtree(final)
+            os.rename(staging, final)
+            if timing:
+                import sys as _sys
 
-        for kind, name, _ in written:
+                _sys.stderr.write(f"[timing commit] {name}: {_time.time() - t0:.2f}s\n")
+            return kind, name, final
+
+        if len(jobs) > 1:
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                written = list(pool.map(write_one, jobs))
+        else:
+            written = [write_one(j) for j in jobs]
+
+        for kind, name, final in written:
             t = m["tables"].setdefault(name, {"kind": kind, "rounds": []})
             t["kind"] = kind
             if round_ not in t["rounds"]:
                 t["rounds"].append(round_)
+            cols = (stats_cols or {}).get(name)
+            if cols:
+                t.setdefault("stats", {})[str(round_)] = self._footer_stats(final, cols)
         m["last_round"] = round_
         self._write_manifest(m)
         return True
+
+    @staticmethod
+    def _footer_stats(table_dir: Path, cols: list[str]) -> dict:
+        """Row count + per-column min/max from parquet footers only."""
+        import pyarrow.parquet as pq
+
+        rows = 0
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for part in sorted(table_dir.glob("*.parquet")):
+            md = pq.ParquetFile(part).metadata
+            rows += md.num_rows
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                for c in cols:
+                    if c not in names:
+                        continue
+                    st = md.row_group(rg).column(names[c]).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    if c not in mins or st.min < mins[c]:
+                        mins[c] = st.min
+                    if c not in maxs or st.max > maxs[c]:
+                        maxs[c] = st.max
+        return {"rows": rows, "min": mins, "max": maxs}
 
     def write_once(self, name: str, df: DataFrame) -> None:
         """One-time dimension table (e.g. the (name, hash) translation table,
         reference src/storage/database_sink.rs:104-125)."""
         final = self.path / name / "r000000"
         if final.exists():
+            # crashed between os.rename and _write_manifest: the data is
+            # complete (rename is atomic) but invisible — repair the manifest
+            # instead of leaving the table permanently unreadable
+            m = self.manifest()
+            if name not in m["tables"]:
+                m["tables"][name] = {"kind": "snapshot", "rounds": [0]}
+                self._write_manifest(m)
             return
         staging = final.parent / "_staging"
         if staging.exists():

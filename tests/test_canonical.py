@@ -26,6 +26,13 @@ CASES = [
     ("https://host1.example.org/p/1?a=%7E&b=2#f", "https://host1.example.org/p/1?a=~&b=2"),
     ("  https://host1.example.org/p/1 ", "https://host1.example.org/p/1"),
     ("not-a-url", "not-a-url"),
+    # non-ASCII / invalid-UTF-8 escapes: kept verbatim (hex uppercased), never
+    # decoded — Spark 4's decode() would throw MALFORMED_CHARACTER_CODING
+    ("https://host1.example.org/caf%c3%a9", "https://host1.example.org/caf%C3%A9"),
+    ("https://host1.example.org/x%ff", "https://host1.example.org/x%FF"),
+    ("https://host1.example.org/%41%5a%61%7a", "https://host1.example.org/AZaz"),
+    ("https://host1.example.org/%2d%2e%5f%7e", "https://host1.example.org/-._~"),
+    ("https://host1.example.org/%2c%40", "https://host1.example.org/%2C%40"),
 ]
 
 
