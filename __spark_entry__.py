@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+_FIXTURES = str(Path(__file__).resolve().parent / "tests" / "fixtures" / "oracle_sf001")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -151,13 +154,16 @@ def q_s14_dedup_firstseen(spark, sf):
 
 
 def q_s14b_surrogate_keys(spark, sf):
-    # S14: dense surrogate keys in first-seen order
+    # S14: dense surrogate keys in first-seen order — via the engine's
+    # skew-robust range-partitioned ranking (seen.dense_rank_range), NOT a
+    # global single-partition window
+    from crawlspark.seen import dense_rank_range
+
     e = _t(spark, sf, "events")
     firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    w = Window.orderBy(F.col("first_ts").asc(), F.col("user_id").asc())
-    return firsts.select(
-        "user_id", "first_ts", F.row_number().over(w).cast("long").alias("surrogate_key")
-    )
+    return dense_rank_range(
+        firsts, ["first_ts", "user_id"], out_col="surrogate_key"
+    ).select("user_id", "first_ts", "surrogate_key")
 
 
 def q_s15_point_wkt(spark, sf):
@@ -677,7 +683,48 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id, md5(text) AS md5_fp FROM documents
         """,
-        # rows-only (non-SQL-expressible: xxhash64 sketches, pandas-UDF
-        # extraction, multimodal stubs): dedup_minhash, dedup_simhash,
-        # ann_lsh, embed_neardup, extraction_units, multimodal_*
+        # xxhash64-based sketches and the pandas-UDF extraction are not
+        # ANSI-SQL-expressible; their oracles are INDEPENDENT pure-Python
+        # mirrors (tools/make_fixtures.py — xxhash64_py + Java int semantics,
+        # same strategy as tests/oracle_sim.py and the reference's golden
+        # fixtures, abcd_parser.rs:232-298) materialized as parquet for the
+        # sf0.01 correctness gate and read here via read_parquet.
+        "extraction_units": f"""
+            SELECT url, member_index, unit_index, unit_id, lon
+            FROM read_parquet('{_FIXTURES}/extraction_units.parquet')
+        """,
+        "dedup_minhash": f"""
+            SELECT a, b, jaccard FROM read_parquet('{_FIXTURES}/dedup_minhash.parquet')
+        """,
+        "dedup_simhash": f"""
+            SELECT a, b, hamming FROM read_parquet('{_FIXTURES}/dedup_simhash.parquet')
+        """,
+        "ann_lsh": f"""
+            SELECT vec_id, rank FROM read_parquet('{_FIXTURES}/ann_lsh.parquet')
+        """,
+        "embed_neardup": f"""
+            SELECT a, b FROM read_parquet('{_FIXTURES}/embed_neardup.parquet')
+        """,
+        # the multimodal stub decoders are deterministic functions of the
+        # payload bytes (all-ASCII testdata text ⇒ byte i == code point i)
+        "multimodal_image": """
+            SELECT doc_id,
+                   CAST(CASE WHEN length(text) = 0 THEN 1
+                             ELSE 1 + ord(substr(text, 1, 1)) % 64 END AS int) AS width,
+                   CAST(CASE WHEN length(text) = 0 THEN 1
+                             ELSE 1 + ord(substr(text, length(text), 1)) % 64 END AS int) AS height,
+                   CAST(octet_length(encode(text)) AS bigint) AS n_bytes,
+                   'stub' AS decoder
+            FROM documents
+        """,
+        "multimodal_frames": """
+            SELECT doc_id, CAST(fi AS int) AS frame_index,
+                   CAST(least(16, n - fi * 16) AS bigint) AS frame_bytes
+            FROM (
+              SELECT doc_id, octet_length(encode(text)) AS n,
+                     unnest(generate_series(
+                       0, greatest(octet_length(encode(text)) // 16, 1) - 1, 2)) AS fi
+              FROM documents WHERE doc_id < 50
+            )
+        """,
     }

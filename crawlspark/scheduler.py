@@ -177,10 +177,17 @@ class Crawler:
 
     # ------------------------------------------------------------------
     def _materialize_index(self, df: DataFrame, name: str) -> DataFrame:
+        """Build the fetch index once as a hash-layout parquet snapshot."""
         n = self.settings.crawl.seen_buckets
         self.wh.write_once(
             name, build_pages_index(df).repartition(n, "url_hash")
         )
+        # NOTE: deliberately NOT cached in memory — the deserialized payload
+        # blobs are several × the parquet size and evict the round's working
+        # caches (measured: commit time 4s → 45s under storage pressure);
+        # the parquet scan + hash exchange is cheaper than cache thrash. On a
+        # real cluster this is a bucketed Iceberg table and the exchange
+        # disappears entirely.
         return self.wh.read_state(self.spark, name)
 
     # ------------------------------------------------------------------
@@ -392,9 +399,13 @@ class Crawler:
                 .withColumn("html", F.coalesce(F.col("html"), F.col("c_html")))
                 .drop("c_hash", "c_curl", "c_html")
             )
+        # 3× finer than the shuffle default: extraction tasks are the longest
+        # in the round (Python-bound), so small tasks pack the executors and
+        # cut the straggler tail; the exchange also keeps the UDF off the
+        # join stage (see the selector-spin note above)
         extracted = extract_pages(
             feed.select(F.col("curl").alias("url"), "html", "provider")
-            .repartition(int(sp.conf.get("spark.sql.shuffle.partitions"))),
+            .repartition(int(sp.conf.get("spark.sql.shuffle.partitions")) * 3),
             self.fields,
             self.settings.abcd.landing_page_field,
             self.landing_base_url,

@@ -261,7 +261,11 @@ def dense_rank_range(
     if keep is not None:
         keep.append(d)
     counts = d.groupBy("_pid").count()
-    w_cum = Window.orderBy(F.col("_pid").asc()).rowsBetween(Window.unboundedPreceding, -1)
+    # partitionBy(lit(0)): same single partition, but explicit — the frame is
+    # n_shuffle_partitions rows (bounded by conf, not data), and the explicit
+    # spec silences Spark's data-sized "moving all data to a single partition"
+    # warning which here is a false alarm
+    w_cum = Window.partitionBy(F.lit(0)).orderBy(F.col("_pid").asc()).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("count").over(w_cum), F.lit(0))
     ).select("_pid", "_off")
@@ -302,7 +306,7 @@ def rank_and_key(
     counts = d.groupBy("_pid").agg(
         F.count("*").alias("_n"), F.sum(fint).alias("_nf")
     )
-    w_cum = Window.orderBy(F.col("_pid").asc()).rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.partitionBy(F.lit(0)).orderBy(F.col("_pid").asc()).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_pid",
         F.coalesce(F.sum("_n").over(w_cum), F.lit(0)).alias("_off"),
@@ -345,7 +349,7 @@ def dense_rank_two_level(
     numbered = df.withColumn("_rn", F.row_number().over(w_part))
 
     counts = df.groupBy(part_col).count()
-    w_cum = Window.orderBy(F.col(part_col).asc()).rowsBetween(
+    w_cum = Window.partitionBy(F.lit(0)).orderBy(F.col(part_col).asc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.withColumn(

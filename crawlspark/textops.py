@@ -7,21 +7,24 @@ per-row Python anywhere.
 
 Scale notes:
 * exact dedup: one hash-groupBy shuffle; map-side partial aggregation applies.
-* MinHash+LSH: signatures are computed in a single projection (xxhash64 over
-  shingles — whole-stage codegen), candidate generation is a self-join on
-  (band_index, band_hash) — the classic shuffle-on-bucket plan whose output is
-  ~O(duplicates), not O(n²).
+* MinHash+LSH: signatures are one aggregate pass (2 xxhash64 per shingle —
+  permutations derived as h1+j*h2, whole-stage codegen); candidate pairs come
+  from ONE groupBy per (band, bucket) with an in-bucket pair explode
+  (bucket_pairs) — output ~O(duplicates), not O(n²), and no self-join so the
+  signature subtree is evaluated once.
 * SimHash: bit votes via explode + 64 conditional sums — one shuffle on doc_id;
-  near-dup candidates join on 16-bit chunks (hamming ≤ 3 ⇒ one of 4 chunks
-  equal, pigeonhole).
+  near-dup candidates bucket on 16-bit chunks (hamming ≤ 3 ⇒ one of 4 chunks
+  equal, pigeonhole), same bucket_pairs shape.
 * ANN: brute-force cosine is one broadcast of the query vector and a single
-  pass (F.aggregate dot products); the LSH-bucketed variant prunes candidates
-  by sign-bit sketch prefix before scoring.
+  pass (F.aggregate dot products) + TakeOrderedAndProject top-k (no global
+  window); the LSH variant prunes candidates by sign-bit sketch first.
+* embedding near-dup: BANDED sign-sketches (4×16 planes) — any-band equality,
+  the MinHash banding trick, so candidates stay O(near-dups) at 10^10 vectors.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -55,19 +58,33 @@ def shingles_expr(text, n: int = 3):
 
 
 def minhash_signature(documents: DataFrame, num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
-    """doc_id + minhash signature array (xxhash64 with per-permutation salt)."""
+    """doc_id + minhash signature array.
+
+    Permutation j is derived as ``h1 + j*h2`` from TWO base hashes per shingle
+    (the standard public double-hashing construction), so each shingle string
+    is xxhash64'd exactly twice regardless of ``num_hashes`` — the naive
+    per-permutation ``xxhash64(s, j)`` rehashed every shingle 16×, which
+    dominated the query's runtime. All ``num_hashes`` minima are folded in a
+    single ``aggregate`` pass over the shingle array with an array
+    accumulator, so h1/h2 are computed once per element inside one expression.
+    """
     sh = F.array_distinct(shingles_expr(F.col("text"), shingle_n))
+    acc0 = F.array(*[F.lit(0x7FFFFFFFFFFFFFFF).cast("long")] * num_hashes)
 
-    def perm(j: int):
-        # factory, NOT a default-arg lambda: PySpark infers HOF arity from the
-        # Python signature, so `lambda s, j=j` would silently become the
-        # (element, index) two-arg form
-        return lambda s: F.xxhash64(s, F.lit(j))
+    def fold(acc, s):
+        # single-STRING xxhash64 calls only: the multi-column form chains
+        # column hashes with Spark-internal semantics, while the single-arg
+        # form is mirrored bit-for-bit by canonical.xxhash64_py (tested) —
+        # which is what the independent fixture oracle uses
+        h1 = F.xxhash64(s)
+        h2 = F.xxhash64(F.concat(F.lit("mh2|"), s))
+        return F.transform(
+            acc, lambda m, i: F.least(m, h1 + i.cast("long") * h2)
+        )
 
-    sigs = F.array(
-        *[F.array_min(F.transform(sh, perm(j))) for j in range(num_hashes)]
+    return documents.select(
+        "doc_id", sh.alias("shingles"), F.aggregate(sh, acc0, fold).alias("sig")
     )
-    return documents.select("doc_id", sh.alias("shingles"), sigs.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -80,10 +97,12 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (a<b) via banded MinHash, verified with exact
     shingle-set Jaccard (no false positives in the output)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(documents, num_hashes, shingle_n).persist()
-    # the band self-join carries ONLY (doc_id, band, bucket) — shuffling the
-    # shingle arrays through the join/dedup costs ~50x more; shingles are
-    # re-attached to the (few) surviving pairs afterwards
+    sig = minhash_signature(documents, num_hashes, shingle_n)
+    # the banded frame carries ONLY (doc_id, band, bucket); candidate pairs
+    # come from ONE groupBy per (band, bucket) with an in-bucket pair explode
+    # (bucket populations are O(near-dup-group) by LSH construction) — no
+    # self-join, so the signature projection is computed exactly once and
+    # nothing needs persist()
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -107,30 +126,55 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
-    sh = sig.select("doc_id", "shingles")
+    pairs = bucket_pairs(banded, ["band", "bucket"], "doc_id")
+    # exact-Jaccard verification (no false positives in the output): texts are
+    # re-read for the few surviving pair ids only; the tiny pair set drives
+    # broadcast joins against the documents table
+    txt = documents.select("doc_id", "text")
     cand = (
-        pairs.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("shingles", "sa"), "a")
-        .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("shingles", "sb"), "b")
+        F.broadcast(pairs)
+        .join(txt.select(F.col("doc_id").alias("a"), F.col("text").alias("ta")), "a")
+        .join(txt.select(F.col("doc_id").alias("b"), F.col("text").alias("tb")), "b")
     )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_union("sa", "sb"))
-    jac = inter / union
+    sa = F.array_distinct(shingles_expr(F.col("ta"), shingle_n))
+    sb = F.array_distinct(shingles_expr(F.col("tb"), shingle_n))
+    jac = F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb))
     return (
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+    """Distinct candidate pairs (a<b) of ids sharing a bucket — one shuffle.
+
+    ``collect_list`` per bucket + in-bucket combination explode replaces the
+    classic bucket self-join: same output, half the upstream compute (the
+    self-join evaluates its child twice), no cache needed. Bucket populations
+    must be small (LSH guarantees O(near-dup-group) sizes); a degenerate
+    corpus where everything collides would concentrate in one task — the same
+    quadratic blowup the self-join formulation has.
+
+    ``id_col`` may be a struct column whose FIRST field is the id (payload
+    fields ride along into the output pairs); pairs are ordered/deduplicated
+    by the struct's natural order, i.e. by id.
+    """
+    ids = F.sort_array(F.collect_list(id_col)).alias("ids")
+    grouped = df.groupBy(*bucket_cols).agg(ids).filter(F.size("ids") > 1)
+    combos = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.a", "p.b")
+        .dropDuplicates(["a", "b"])
     )
 
 
@@ -160,9 +204,10 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, candidates
     pruned by 16-bit chunk equality (pigeonhole over 4 chunks)."""
     sh = simhash(documents)
+    # the hash rides inside the bucket id-struct, so simhash() is evaluated
+    # exactly once and the pairs arrive verification-ready (no re-join)
     chunks = sh.select(
-        "doc_id",
-        "simhash",
+        F.struct("doc_id", "simhash").alias("item"),
         F.explode(
             F.array(
                 *[
@@ -174,26 +219,13 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("cc"),
-    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
-    l, r = chunks.alias("l"), chunks.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
-        )
-        .dropDuplicates(["a", "b"])
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "a", "b", "hamming"
+    ).select("item", "cc.chunk", "cc.val")
+    pairs = bucket_pairs(chunks, ["chunk", "val"], "item")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), "hamming")
     )
 
 
@@ -221,36 +253,69 @@ def ann_bruteforce_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 1
         .crossJoin(F.broadcast(q))
         .select("vec_id", cosine_expr(F.col("embedding"), F.col("qvec")).alias("cos"))
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(vec_id, rank) of the k best by (cos desc, vec_id asc) WITHOUT a global
+    window: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (per-
+    partition top-k + driver merge — no single-partition shuffle), then ranks
+    the k survivors by a broadcast self-count (k² comparisons, k≤~100)."""
+    topk = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+    l, r = topk.alias("l"), topk.alias("r")
+    better = (F.col("r.cos") > F.col("l.cos")) | (
+        (F.col("r.cos") == F.col("l.cos")) & (F.col("r.vec_id") < F.col("l.vec_id"))
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "rank")
+        l.join(F.broadcast(r), better, "left")
+        .groupBy(F.col("l.vec_id").alias("vec_id"))
+        .agg((F.count(F.col("r.vec_id")) + 1).cast("int").alias("rank"))
     )
 
 
-def sign_sketch_expr(vec, planes: int = 16):
+def sign_sketch_expr(vec, planes: int = 16, plane_offset: int = 0):
     """LSH sign-bit sketch: bit i = sign of a pseudo-random projection whose
     'plane' is derived deterministically from (i, dimension index) hashes —
-    no stored model, reproducible anywhere."""
+    no stored model, reproducible anywhere. ``plane_offset`` selects an
+    independent plane family (used for banding)."""
     dims = F.transform(vec, lambda v, idx: F.struct(v.alias("v"), idx.alias("i")))
 
     def merge_fn(p: int):
-        # factory (see minhash_signature): default-arg lambdas break HOF arity
+        # factory (see minhash_signature): default-arg lambdas break HOF
+        # arity. Single-string xxhash64 (see minhash_signature) so the
+        # fixture oracle's pure-Python mirror reproduces the weights exactly.
         return lambda acc, s: acc + s["v"] * (
-            (F.xxhash64(s["i"].cast("string"), F.lit(p)) % 1000).cast("double") / 500.0
+            (
+                F.xxhash64(F.concat(s["i"].cast("string"), F.lit(f"_{p}")))
+                % 1000
+            ).cast("double")
+            / 500.0
             - 1.0
         )
 
     bits = []
     for p in range(planes):
-        proj = F.aggregate(dims, F.lit(0.0), merge_fn(p))
+        proj = F.aggregate(dims, F.lit(0.0), merge_fn(plane_offset + p))
         bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bits.append(F.shiftleft(bit, p))
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseXOR(b)
     return out
+
+
+def banded_sketch_expr(vec, bands: int = 4, planes_per_band: int = 16):
+    """Array of ``bands`` independent sign-sketches (the MinHash-LSH banding
+    trick applied to random hyperplanes): a pair is a candidate if ANY band's
+    sketch matches exactly, so recall grows with bands while each band's
+    bucket stays selective — candidates remain O(near-dups), never
+    O(n²/2^planes)."""
+    return F.array(
+        *[
+            sign_sketch_expr(vec, planes_per_band, plane_offset=b * planes_per_band)
+            for b in range(bands)
+        ]
+    )
 
 
 def ann_lsh_topk(
@@ -268,28 +333,35 @@ def ann_lsh_topk(
         F.broadcast(q), F.col("sketch") == F.col("qsketch")
     )
     scored = cand.select("vec_id", cosine_expr(F.col("embedding"), F.col("qvec")).alias("cos"))
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return _rank_topk(scored, k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 4,
+    planes_per_band: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a<b). Candidates via BANDED
+    sign-sketches (any of ``bands`` 16-plane sketches equal ⇒ candidate — the
+    same O(near-dups) shape as MinHash-LSH; a single flat 8-plane bucket join
+    degraded to O(n²/256) within giant buckets at 10^10 vectors), verified by
+    exact cosine ≥ threshold."""
+    sk = embeddings.select(
+        "vec_id",
+        "embedding",
+        banded_sketch_expr(F.col("embedding"), bands, planes_per_band).alias("sketches"),
+    )
+    banded = sk.select(
+        F.struct("vec_id", "embedding").alias("item"),
+        F.posexplode("sketches").alias("band", "sketch"),
+    )
+    pairs = bucket_pairs(banded, ["band", "sketch"], "item")
+    cos = cosine_expr(F.col("a.embedding"), F.col("b.embedding"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "rank")
+        pairs.filter(cos >= threshold)
+        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"))
     )
-
-
-def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a<b). Candidates via sign-sketch
-    bucket equality, verified by exact cosine ≥ threshold."""
-    sk = embeddings.withColumn("sketch", sign_sketch_expr(F.col("embedding"), 8))
-    l, r = sk.alias("l"), sk.alias("r")
-    cand = l.join(
-        r,
-        (F.col("l.sketch") == F.col("r.sketch")) & (F.col("l.vec_id") < F.col("r.vec_id")),
-    ).select(
-        F.col("l.vec_id").alias("a"),
-        F.col("r.vec_id").alias("b"),
-        cosine_expr(F.col("l.embedding"), F.col("r.embedding")).alias("cos"),
-    )
-    return cand.filter(F.col("cos") >= threshold).select("a", "b")
 
 
 # ---------------------------------------------------------------------------

@@ -65,7 +65,8 @@ def test_ann_bruteforce_self_vector(spark):
         (4, [-1.0, 0.0, 0.0]),
     ]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    top = ann_bruteforce_topk(df, query_vec_id=0, k=3).collect()
+    top = sorted(ann_bruteforce_topk(df, query_vec_id=0, k=3).collect(),
+                 key=lambda r: r["rank"])
     assert [r["vec_id"] for r in top] == [1, 3, 2]
 
 
@@ -73,7 +74,8 @@ def test_ann_lsh_contains_identical(spark):
     rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(1, 40)]
     rows.append((0, rows[4][1]))  # query identical to vec_id 5
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    top = ann_lsh_topk(df, query_vec_id=0, k=5, planes=4).collect()
+    top = sorted(ann_lsh_topk(df, query_vec_id=0, k=5, planes=4).collect(),
+                 key=lambda r: r["rank"])
     assert top and top[0]["vec_id"] == 5  # bucket shares the identical vector
 
 
@@ -119,3 +121,34 @@ def test_multimodal_stub_plumbing(spark):
     assert sorted(map(tuple, meta)) == sorted(map(tuple, meta2))
     frames = frame_sample(b).collect()
     assert {r["doc_id"] for r in frames} == {1, 2}
+
+
+def test_embed_neardup_recall_vs_bruteforce(spark):
+    """Banded-sketch candidates must recover the full exact pair set on a
+    clustered corpus (near-dups = tiny perturbations -> same sign pattern in
+    at least one band with overwhelming probability)."""
+    import itertools
+    import math
+
+    base = [[float((i * 13 + j * 5) % 17 - 8) for j in range(16)] for i in range(12)]
+    rows = []
+    vid = 0
+    for b in base:
+        for rep in range(3):  # 3 near-copies per cluster
+            rows.append((vid, [x + rep * 1e-6 for x in b]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    exact = {
+        (a, b)
+        for (a, va), (b, vb) in itertools.combinations(rows, 2)
+        if cos(va, vb) >= 0.9999
+    }
+    got = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(df, threshold=0.9999).collect()}
+    assert got <= exact          # verification step guarantees no false positives
+    recall = len(got & exact) / len(exact)
+    assert recall == 1.0, f"recall {recall}: {exact - got}"

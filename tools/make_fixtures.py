@@ -1,0 +1,312 @@
+#!/usr/bin/env python
+"""Generate oracle fixture parquets for the non-SQL-expressible battery
+queries (driver CORRECTNESS gate runs at sf=0.01).
+
+Each fixture is computed by an INDEPENDENT pure-Python mirror (no Spark, no
+crawlspark expression code) of the documented algorithm — the same oracle
+strategy as tests/oracle_sim.py for the crawl and the reference's golden
+fixtures (/root/reference/src/abcd/abcd_parser.rs:232-298):
+
+* extraction_units  — unit rows derived from the synth TEMPLATE values
+  (synth.unit_values), not from running the parser.
+* dedup_minhash     — pure-Python xxhash64 (canonical.xxhash64_py) MinHash
+  signatures + banding + exact-Jaccard verify.
+* dedup_simhash     — pure-Python SimHash votes + chunk pigeonhole + hamming.
+* ann_lsh           — numpy-free sign-sketch + cosine mirror with Spark's
+  exact float semantics (float32 products, float64 accumulation, array-order
+  folds).
+* embed_neardup     — banded sign-sketches + cosine ≥ threshold mirror.
+
+Integer ops mirror Spark's non-ANSI Java semantics: 64-bit wrap-around adds /
+multiplies, truncated (sign-of-dividend) %, arithmetic shifts.
+
+Run from the repo root:  python tools/make_fixtures.py
+Outputs land in tests/fixtures/oracle_sf001/*.parquet (committed).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from crawlspark.canonical import xxhash64_py  # noqa: E402
+from crawlspark import synth  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = REPO / "tests" / "fixtures" / "oracle_sf001"
+
+_M64 = 1 << 64
+
+
+def i64(x: int) -> int:
+    """Wrap to signed 64-bit (Java long overflow semantics)."""
+    x &= _M64 - 1
+    return x - _M64 if x >= (1 << 63) else x
+
+
+def jmod(h: int, m: int) -> int:
+    """Java % : remainder with the sign of the dividend."""
+    r = abs(h) % m
+    return r if h >= 0 else -r
+
+
+def round6(x: float) -> float:
+    """Spark F.round — HALF_UP decimal rounding (python round is banker's)."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def load_documents() -> list[tuple[int, str]]:
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def load_embeddings() -> list[tuple[int, list[float]]]:
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return list(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+
+
+def f32(x: float) -> float:
+    """Round a python float to float32 precision (Spark FloatType value)."""
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+# ---------------------------------------------------------------------------
+# extraction_units (S8+S9) — from the synth template, not the parser
+# ---------------------------------------------------------------------------
+
+def extraction_units_fixture() -> pa.Table:
+    urls, mis, uis, uids, lons = [], [], [], [], []
+    n_hosts = 5
+    for i in range(40):
+        url = synth.page_url(i, n_hosts)
+        for m in range(synth.n_members(i)):
+            if synth.member_is_garbage(i, m):
+                continue
+            for j in range(synth.n_units(i, m)):
+                v = synth.unit_values(i, m, j)
+                urls.append(url)
+                mis.append(m)
+                uis.append(j)
+                uids.append(v["unit_id"])
+                lons.append(None if v["lon"] == "N/A" else float(v["lon"]))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "member_index": pa.array(mis, pa.int32()),
+            "unit_index": pa.array(uis, pa.int32()),
+            "unit_id": pa.array(uids, pa.string()),
+            "lon": pa.array(lons, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash
+# ---------------------------------------------------------------------------
+
+def shingle_set(text: str, n: int = 3) -> list[str]:
+    words = text.split(" ")
+    k = len(words) - (n - 1)
+    sh = [" ".join(words[i : i + n]) for i in range(k)] if k >= 1 else [" ".join(words)]
+    seen, out = set(), []
+    for s in sh:
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def minhash_sig(text: str, num: int = 16) -> list[int]:
+    mins = [0x7FFFFFFFFFFFFFFF] * num
+    for s in shingle_set(text):
+        h1 = xxhash64_py(s)
+        h2 = xxhash64_py("mh2|" + s)
+        for j in range(num):
+            v = i64(h1 + j * h2)
+            if v < mins[j]:
+                mins[j] = v
+    return mins
+
+
+def docs_with_dups(docs, mod=25, offset=1000000):
+    return docs + [(d + offset, t) for d, t in docs if d % mod == 0]
+
+
+def minhash_fixture(docs) -> pa.Table:
+    num, bands, rpb, thr = 16, 4, 4, 0.8
+    d = docs_with_dups(docs)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    texts = dict(d)
+    for doc_id, text in d:
+        sig = minhash_sig(text, num)
+        for b in range(bands):
+            key = xxhash64_py(",".join(str(sig[b * rpb + r]) for r in range(rpb)))
+            buckets.setdefault((b, key), []).append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pairs.add((ids[x], ids[y]))
+    rows = []
+    for a, b in sorted(pairs):
+        sa, sb = set(shingle_set(texts[a])), set(shingle_set(texts[b]))
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= thr:
+            rows.append((a, b, round6(jac)))
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    votes = [0] * 64
+    for tok in text.split(" "):
+        th = xxhash64_py(tok)
+        for i in range(64):
+            votes[i] += 1 if (th >> i) & 1 else -1
+    h = 0
+    for i in range(64):
+        if votes[i] > 0:
+            h |= 1 << i
+    return i64(h)
+
+
+def simhash_fixture(docs) -> pa.Table:
+    d = docs_with_dups(docs)
+    hashes = {doc_id: simhash64(text) for doc_id, text in d}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, h in hashes.items():
+        for c in range(4):
+            buckets.setdefault((c, (h >> (c * 16)) & 0xFFFF), []).append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pairs.add((ids[x], ids[y]))
+    rows = []
+    for a, b in sorted(pairs):
+        ham = bin((hashes[a] ^ hashes[b]) & (_M64 - 1)).count("1")
+        if ham <= 3:
+            rows.append((a, b, ham))
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "hamming": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign sketches / cosine (Spark float semantics: float32 products, float64
+# accumulation in array order)
+# ---------------------------------------------------------------------------
+
+def plane_weight(i: int, p: int) -> float:
+    return float(jmod(xxhash64_py(f"{i}_{p}"), 1000)) / 500.0 - 1.0
+
+
+def sign_sketch(vec: list[float], planes: int, offset: int = 0) -> int:
+    out = 0
+    for p in range(planes):
+        acc = 0.0
+        for i, v in enumerate(vec):
+            acc += v * plane_weight(i, offset + p)
+        if acc > 0:
+            out |= 1 << p
+    return out
+
+
+def cosine(a: list[float], b: list[float]) -> float:
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += f32(x * y)
+    na = 0.0
+    for x in a:
+        na += f32(x * x)
+    nb = 0.0
+    for y in b:
+        nb += f32(y * y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def ann_lsh_fixture(embs) -> pa.Table:
+    planes, k, qid = 6, 10, 0
+    sk = {vid: sign_sketch(vec, planes) for vid, vec in embs}
+    vecs = dict(embs)
+    q = sk[qid]
+    scored = [
+        (cosine(vecs[vid], vecs[qid]), vid)
+        for vid, s in sk.items()
+        if vid != qid and s == q
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    top = scored[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array([vid for _, vid in top], pa.int64()),
+            "rank": pa.array(list(range(1, len(top) + 1)), pa.int32()),
+        }
+    )
+
+
+def embed_neardup_fixture(embs) -> pa.Table:
+    bands, ppb, thr = 4, 16, 0.999
+    d = embs + [(vid + 1000000, vec) for vid, vec in embs if vid % 25 == 0]
+    vecs = dict(d)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for vid, vec in d:
+        for b in range(bands):
+            buckets.setdefault((b, sign_sketch(vec, ppb, b * ppb)), []).append(vid)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pairs.add((ids[x], ids[y]))
+    rows = [(a, b) for a, b in sorted(pairs) if cosine(vecs[a], vecs[b]) >= thr]
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def main() -> None:
+    OUT.mkdir(parents=True, exist_ok=True)
+    docs = load_documents()
+    embs = load_embeddings()
+    tables = {
+        "extraction_units": extraction_units_fixture(),
+        "dedup_minhash": minhash_fixture(docs),
+        "dedup_simhash": simhash_fixture(docs),
+        "ann_lsh": ann_lsh_fixture(embs),
+        "embed_neardup": embed_neardup_fixture(embs),
+    }
+    for name, tbl in tables.items():
+        pq.write_table(tbl, OUT / f"{name}.parquet")
+        print(f"{name}: {tbl.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
