@@ -233,6 +233,23 @@ def distributed_bloom_update(
     )
 
 
+def _cumsum_offsets(counts: DataFrame, sums: list[tuple[str, str]], key: str = "_pid") -> DataFrame:
+    """Exclusive prefix sums of ``sums`` columns ordered by ``key``, computed
+    with a triangular self-join — O(p²) pairs over a frame bounded by the
+    shuffle-partition count (metadata-sized), never a global window."""
+    strictly_before = F.col(f"_b.{key}") < F.col(f"_a.{key}")
+    a, b = counts.alias("_a"), counts.alias("_b")
+    aggs = [
+        F.coalesce(F.sum(F.col(f"_b.{src}")), F.lit(0)).alias(dst)
+        for src, dst in sums
+    ]
+    return (
+        a.join(b, strictly_before, "left")
+        .groupBy(F.col(f"_a.{key}").alias(key))
+        .agg(*aggs)
+    )
+
+
 def dense_rank_range(
     df: DataFrame,
     order_cols: list[str],
@@ -261,14 +278,11 @@ def dense_rank_range(
     if keep is not None:
         keep.append(d)
     counts = d.groupBy("_pid").count()
-    # partitionBy(lit(0)): same single partition, but explicit — the frame is
-    # n_shuffle_partitions rows (bounded by conf, not data), and the explicit
-    # spec silences Spark's data-sized "moving all data to a single partition"
-    # warning which here is a false alarm
-    w_cum = Window.partitionBy(F.lit(0)).orderBy(F.col("_pid").asc()).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("count").over(w_cum), F.lit(0))
-    ).select("_pid", "_off")
+    # cumulative offsets via a triangular self-join over the TINY partition-
+    # count frame (≤ n_shuffle_partitions rows): no unpartitioned window, so
+    # nothing ever moves "all data to a single partition" — not even the
+    # bounded metadata frame
+    offsets = _cumsum_offsets(counts, [("count", "_off")])
     w_local = Window.partitionBy("_pid").orderBy(*oc)
     out = (
         d.withColumn("_rn", F.row_number().over(w_local))
@@ -306,12 +320,8 @@ def rank_and_key(
     counts = d.groupBy("_pid").agg(
         F.count("*").alias("_n"), F.sum(fint).alias("_nf")
     )
-    w_cum = Window.partitionBy(F.lit(0)).orderBy(F.col("_pid").asc()).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_n").over(w_cum), F.lit(0)).alias("_off"),
-        F.coalesce(F.sum("_nf").over(w_cum), F.lit(0)).alias("_foff"),
-    )
+    # triangular-join cumsum over the tiny counts frame (see dense_rank_range)
+    offsets = _cumsum_offsets(counts, [("_n", "_off"), ("_nf", "_foff")])
     w_local = Window.partitionBy("_pid").orderBy(*oc)
     out = (
         d.withColumn("_rn", F.row_number().over(w_local))
@@ -349,12 +359,7 @@ def dense_rank_two_level(
     numbered = df.withColumn("_rn", F.row_number().over(w_part))
 
     counts = df.groupBy(part_col).count()
-    w_cum = Window.partitionBy(F.lit(0)).orderBy(F.col(part_col).asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("count").over(w_cum), F.lit(0))
-    ).select(part_col, "_off")
+    offsets = _cumsum_offsets(counts, [("count", "_off")], key=part_col)
 
     return (
         numbered.join(F.broadcast(offsets), part_col)

@@ -273,48 +273,89 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def sign_sketch_expr(vec, planes: int = 16, plane_offset: int = 0):
-    """LSH sign-bit sketch: bit i = sign of a pseudo-random projection whose
-    'plane' is derived deterministically from (i, dimension index) hashes —
-    no stored model, reproducible anywhere. ``plane_offset`` selects an
-    independent plane family (used for banding)."""
-    dims = F.transform(vec, lambda v, idx: F.struct(v.alias("v"), idx.alias("i")))
+def _plane_weight(i: int, p: int) -> float:
+    """Deterministic pseudo-random hyperplane weight for (dimension i,
+    plane p): xxhash64 of "i_p" → truncated Java %, scaled to [-1, 1). Driver-
+    side and LITERAL in the plan — the naive in-expression form cost
+    dims×planes runtime hashes per row (4096 for 64-dim × 64-plane banding)
+    and blew up codegen; the values (and hence all sketches and the fixture
+    oracles, which mirror this exact formula in pure Python) are unchanged.
+    No stored model: reproducible anywhere from the formula alone."""
+    from .canonical import xxhash64_py
 
-    def merge_fn(p: int):
-        # factory (see minhash_signature): default-arg lambdas break HOF
-        # arity. Single-string xxhash64 (see minhash_signature) so the
-        # fixture oracle's pure-Python mirror reproduces the weights exactly.
-        return lambda acc, s: acc + s["v"] * (
-            (
-                F.xxhash64(F.concat(s["i"].cast("string"), F.lit(f"_{p}")))
-                % 1000
-            ).cast("double")
-            / 500.0
-            - 1.0
+    h = xxhash64_py(f"{i}_{p}")
+    r = abs(h) % 1000
+    return float(r if h >= 0 else -r) / 500.0 - 1.0
+
+
+def _projections_expr(vec, n_planes: int, plane_offset: int = 0, dims: int = 64):
+    """Array of ``n_planes`` hyperplane dot products in ONE aggregate pass
+    with an array accumulator (64 per-plane aggregates each compiled their
+    own HOF tree — ~10 s of plan/codegen overhead; this is one expression).
+    Per plane the fold order over dimensions is unchanged (i ascending), so
+    every projection double — and hence every sketch bit and the fixture
+    oracles — is bit-identical to the per-plane formulation."""
+    w_matrix = F.array(
+        *[
+            F.array(*[F.lit(_plane_weight(i, plane_offset + p)) for p in range(n_planes)])
+            for i in range(dims)
+        ]
+    )  # w_matrix[i][p]
+    indexed = F.transform(vec, lambda v, i: F.struct(v.alias("v"), i.alias("i")))
+    acc0 = F.array(*[F.lit(0.0)] * n_planes)
+    return F.aggregate(
+        indexed,
+        acc0,
+        lambda acc, d: F.zip_with(
+            acc, F.element_at(w_matrix, d["i"] + 1), lambda a, w: a + d["v"] * w
+        ),
+    )
+
+
+def _bits_expr(proj, lo: int, n: int):
+    """Long whose bit b (0-based) = sign(proj[lo + b])."""
+    out = None
+    for b in range(n):
+        bit = F.when(F.element_at(proj, lo + b + 1) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-
-    bits = []
-    for p in range(planes):
-        proj = F.aggregate(dims, F.lit(0.0), merge_fn(plane_offset + p))
-        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bits.append(F.shiftleft(bit, p))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseXOR(b)
+        term = F.shiftleft(bit, b)
+        out = term if out is None else out.bitwiseXOR(term)
     return out
 
 
-def banded_sketch_expr(vec, bands: int = 4, planes_per_band: int = 16):
+def _bind_once(expr, fn):
+    """Evaluate ``expr`` once and feed it to ``fn`` as a lambda variable.
+
+    Spark evaluates every occurrence of a (higher-order-function) column
+    object independently — referencing the projection aggregate from 64 bit
+    expressions re-ran it 64× per row. Wrapping it as the element of a
+    1-element array and consuming it through ``transform``'s lambda variable
+    forces exactly one evaluation."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def sign_sketch_expr(vec, planes: int = 16, plane_offset: int = 0, dims: int = 64):
+    """LSH sign-bit sketch: bit p = sign of the dot product with a
+    deterministic pseudo-random hyperplane (weights: _plane_weight, literal
+    in the plan). ``plane_offset`` selects an independent plane family."""
+    proj = _projections_expr(vec, planes, plane_offset, dims)
+    return _bind_once(proj, lambda pr: _bits_expr(pr, 0, planes))
+
+
+def banded_sketch_expr(vec, bands: int = 4, planes_per_band: int = 16, dims: int = 64):
     """Array of ``bands`` independent sign-sketches (the MinHash-LSH banding
     trick applied to random hyperplanes): a pair is a candidate if ANY band's
     sketch matches exactly, so recall grows with bands while each band's
     bucket stays selective — candidates remain O(near-dups), never
-    O(n²/2^planes)."""
-    return F.array(
-        *[
-            sign_sketch_expr(vec, planes_per_band, plane_offset=b * planes_per_band)
-            for b in range(bands)
-        ]
+    O(n²/2^planes). All bands' projections come from one aggregate pass,
+    evaluated once (_bind_once)."""
+    proj = _projections_expr(vec, bands * planes_per_band, 0, dims)
+    return _bind_once(
+        proj,
+        lambda pr: F.array(
+            *[_bits_expr(pr, b * planes_per_band, planes_per_band) for b in range(bands)]
+        ),
     )
 
 
@@ -349,19 +390,22 @@ def embedding_near_dup_pairs(
     exact cosine ≥ threshold."""
     sk = embeddings.select(
         "vec_id",
-        "embedding",
         banded_sketch_expr(F.col("embedding"), bands, planes_per_band).alias("sketches"),
     )
-    banded = sk.select(
-        F.struct("vec_id", "embedding").alias("item"),
-        F.posexplode("sketches").alias("band", "sketch"),
+    # the bucket shuffle carries ONLY (vec_id, band, sketch); embeddings are
+    # re-read for the few surviving pair ids (broadcast joins) — at 10^10
+    # vectors dragging the float arrays through collect_list/dedup would
+    # dominate the shuffle
+    banded = sk.select("vec_id", F.posexplode("sketches").alias("band", "sketch"))
+    pairs = bucket_pairs(banded, ["band", "sketch"], "vec_id")
+    vecs = embeddings.select("vec_id", "embedding")
+    cand = (
+        F.broadcast(pairs)
+        .join(vecs.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea")), "a")
+        .join(vecs.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb")), "b")
     )
-    pairs = bucket_pairs(banded, ["band", "sketch"], "item")
-    cos = cosine_expr(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        pairs.filter(cos >= threshold)
-        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"))
-    )
+    cos = cosine_expr(F.col("ea"), F.col("eb"))
+    return cand.filter(cos >= threshold).select("a", "b")
 
 
 # ---------------------------------------------------------------------------

@@ -53,3 +53,54 @@ def test_write_once(spark, tmp_path):
     wh.write_once("dim", spark.createDataFrame([("a", "b")], ["name", "hash"]))
     wh.write_once("dim", spark.createDataFrame([("x", "y")], ["name", "hash"]))
     assert [tuple(r) for r in wh.read_state(spark, "dim").collect()] == [("a", "b")]
+
+
+def test_write_once_repairs_missing_manifest_entry(spark, tmp_path):
+    """Crash between os.rename and _write_manifest: the data directory exists
+    but the manifest doesn't name it. write_once must repair the manifest
+    instead of leaving the table permanently invisible (exact-resume
+    guarantee)."""
+    wh = Warehouse(tmp_path / "wh")
+    df = spark.createDataFrame([("a", "b")], ["name", "hash"])
+    wh.write_once("dim", df)
+    # simulate the crash: drop the manifest entry, keep the data dir
+    m = wh.manifest()
+    del m["tables"]["dim"]
+    wh._write_manifest(m)
+    wh.write_once("dim", df)  # repair path
+    assert wh.has_table("dim")
+    assert [tuple(r) for r in wh.read_state(spark, "dim").collect()] == [("a", "b")]
+
+
+def test_commit_round_footer_stats(spark, tmp_path):
+    """stats_cols records row count + min/max from parquet footers in the
+    manifest (the reference's post-load ANALYZE analog,
+    src/storage/database_sink.rs:408-489)."""
+    wh = Warehouse(tmp_path / "wh")
+    df = spark.createDataFrame([(k, f"u{k}") for k in range(1, 8)], ["surrogate_key", "url"])
+    wh.commit_round(
+        0,
+        appends={"units": df.sortWithinPartitions("surrogate_key")},
+        stats_cols={"units": ["surrogate_key"]},
+    )
+    st = wh.manifest()["tables"]["units"]["stats"]["0"]
+    assert st["rows"] == 7
+    assert st["min"]["surrogate_key"] == 1
+    assert st["max"]["surrogate_key"] == 7
+
+
+def test_committed_files_sorted(spark, tmp_path):
+    """Sort-on-write: every committed parquet part is ordered by the sort
+    key (the CLUSTER analog, S21)."""
+    import pyarrow.parquet as pq
+
+    wh = Warehouse(tmp_path / "wh")
+    df = spark.createDataFrame(
+        [((k * 37) % 101, f"u{k}") for k in range(101)], ["surrogate_key", "url"]
+    ).repartition(4)
+    wh.commit_round(0, appends={"units": df.sortWithinPartitions("surrogate_key")})
+    parts = sorted((tmp_path / "wh" / "units" / "r000000").glob("*.parquet"))
+    assert parts
+    for p in parts:
+        keys = pq.read_table(p, columns=["surrogate_key"])["surrogate_key"].to_pylist()
+        assert keys == sorted(keys)

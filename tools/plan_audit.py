@@ -104,6 +104,52 @@ def main() -> None:
          [("exactly one MapInPandas operator", p.count("(2) MapInPandas") >= 1 and p.count("MapInPandas (") == 1)])
     )
 
+    # 7. minhash LSH: bucket-grouped candidates, no self-join of the
+    #    signature subtree, no cartesian anywhere
+    from crawlspark.textops import ann_bruteforce_topk, embedding_near_dup_pairs, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+    p = fmt(q)
+    sections.append(
+        ("MinHash LSH: bucket groupBy candidates (no self-join, no cartesian)", p,
+         [("no CartesianProduct / BroadcastNestedLoop on the candidate path",
+           "CartesianProduct" not in p),
+          ("signature subtree evaluated once (single ObjectHashAggregate/"
+           "HashAggregate pair over the banded explode)", "Generate" in p)])
+    )
+
+    # 8. ANN top-k: TakeOrderedAndProject, no global Window
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = ann_bruteforce_topk(emb, 0, 10)
+    p = fmt(q)
+    sections.append(
+        ("ANN brute-force top-k: TakeOrderedAndProject, no Window", p,
+         [("TakeOrderedAndProject", "TakeOrderedAndProject" in p),
+          ("no Window operator", "Window" not in p)])
+    )
+
+    # 9. embedding near-dup: banded bucket aggregation, no n² join
+    q = embedding_near_dup_pairs(emb, threshold=0.999)
+    p = fmt(q)
+    sections.append(
+        ("Embedding near-dup: banded sketches, bucket agg, no cartesian", p,
+         [("no CartesianProduct/BroadcastNestedLoop", "CartesianProduct" not in p
+           and "BroadcastNestedLoop" not in p),
+          ("posexplode of band sketches present", "Generate" in p)])
+    )
+
+    # 10. distributed bloom build: executor-side cogroup, no driver collect
+    from crawlspark.seen import distributed_bloom_update
+
+    hashes = spark.range(1000).select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    q = distributed_bloom_update(hashes, None, 1 << 16, 5, 32)
+    p = fmt(q)
+    sections.append(
+        ("Bloom build: per-bucket cogroup on executors", p,
+         [("FlatMapCoGroupsInPandas operator", "FlatMapCoGroupsInPandas" in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
