@@ -163,7 +163,7 @@ def crawl_worker(cpus: int, n_pages: int | None = None) -> None:
 
     # best-of-N timed runs in the same warm JVM: the sandbox host has noisy
     # neighbors, so a single sample under-reports steady-state throughput
-    repeats = int(os.environ.get("CRAWLSPARK_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("CRAWLSPARK_BENCH_REPEATS", "2"))
     runs = []
     best = None
     for _ in range(repeats):
@@ -276,7 +276,7 @@ def write_baseline_md(crawl: dict, timings: dict[str, float]) -> None:
         "Same job at two parallelism levels — the sandbox proxy for N vs 4N",
         f"executors (no real cluster available). Input: deterministic synthetic",
         f"frontier, n_pages={N_PAGES}, n_hosts={N_HOSTS}; best of",
-        f"{os.environ.get('CRAWLSPARK_BENCH_REPEATS', '3')} runs in a warm JVM.",
+        f"{os.environ.get('CRAWLSPARK_BENCH_REPEATS', '2')} runs in a warm JVM.",
         "",
         "| mode | parallelism | input pages | URLs fetched+deduped/sec |",
         "|---|---|---|---|",
