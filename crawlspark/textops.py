@@ -7,11 +7,16 @@ per-row Python anywhere.
 
 Scale notes:
 * exact dedup: one hash-groupBy shuffle; map-side partial aggregation applies.
-* MinHash+LSH: signatures are one aggregate pass (2 xxhash64 per shingle —
-  permutations derived as h1+j*h2, whole-stage codegen); candidate pairs come
-  from ONE groupBy per (band, bucket) with an in-bucket pair explode
-  (bucket_pairs) — output ~O(duplicates), not O(n²), and no self-join so the
-  signature subtree is evaluated once.
+* MinHash+LSH: an exact-dup pre-pass collapses identical texts to one
+  representative (web corpora are 30-50% exact dups — error pages,
+  boilerplate — which otherwise concentrate one quadratic LSH bucket in one
+  task); signatures are one aggregate pass (2 xxhash64 per shingle —
+  permutations derived as h1+j*h2 on hashes masked into [0, 2^59), so the
+  arithmetic can NEVER overflow a long and is identical under ANSI and
+  non-ANSI sessions); candidate pairs come from ONE groupBy per (band,
+  bucket) with an in-bucket pair explode (bucket_pairs) — output
+  ~O(duplicates), not O(n²), and no self-join so the signature subtree is
+  evaluated once.
 * SimHash: bit votes via explode + 64 conditional sums — one shuffle on doc_id;
   near-dup candidates bucket on 16-bit chunks (hamming ≤ 3 ⇒ one of 4 chunks
   equal, pigeonhole), same bucket_pairs shape.
@@ -67,7 +72,14 @@ def minhash_signature(documents: DataFrame, num_hashes: int = 16, shingle_n: int
     dominated the query's runtime. All ``num_hashes`` minima are folded in a
     single ``aggregate`` pass over the shingle array with an array
     accumulator, so h1/h2 are computed once per element inside one expression.
+
+    ANSI-safe: both base hashes are logically-right-shifted into
+    [0, 2^(63-ceil(log2(num_hashes)))), so ``h1 + j*h2`` is provably below
+    2^63 for every j < num_hashes — no long overflow, hence identical results
+    (and no ARITHMETIC_OVERFLOW) whether the session runs ANSI on or off.
     """
+    # shift such that (num_hashes) * 2^(64-shift) <= 2^63
+    shift = (num_hashes - 1).bit_length() + 1
     sh = F.array_distinct(shingles_expr(F.col("text"), shingle_n))
     acc0 = F.array(*[F.lit(0x7FFFFFFFFFFFFFFF).cast("long")] * num_hashes)
 
@@ -76,8 +88,8 @@ def minhash_signature(documents: DataFrame, num_hashes: int = 16, shingle_n: int
         # column hashes with Spark-internal semantics, while the single-arg
         # form is mirrored bit-for-bit by canonical.xxhash64_py (tested) —
         # which is what the independent fixture oracle uses
-        h1 = F.xxhash64(s)
-        h2 = F.xxhash64(F.concat(F.lit("mh2|"), s))
+        h1 = F.shiftrightunsigned(F.xxhash64(s), shift)
+        h2 = F.shiftrightunsigned(F.xxhash64(F.concat(F.lit("mh2|"), s)), shift)
         return F.transform(
             acc, lambda m, i: F.least(m, h1 + i.cast("long") * h2)
         )
@@ -95,9 +107,27 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate pairs (a<b) via banded MinHash, verified with exact
-    shingle-set Jaccard (no false positives in the output)."""
+    shingle-set Jaccard (no false positives in the output).
+
+    Scale shape: an exact-dup pre-pass first collapses identical texts to one
+    representative (min doc_id per md5(text) class). Web corpora are 30-50%
+    EXACT duplicates concentrated in few texts (error pages, boilerplate) —
+    without the collapse those classes all land in the same LSH buckets and
+    one task runs a quadratic in-bucket explode. After the collapse, LSH/
+    signature work runs over unique texts only; identical-class pairs are
+    emitted directly (jaccard exactly 1.0), and representative near-dup pairs
+    are expanded back to member pairs with two keyed joins (distributed,
+    AQE-skew-splittable). Output is identical to running LSH over all docs:
+    signatures depend only on text, so same-class docs share every bucket.
+    """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(documents, num_hashes, shingle_n)
+    docs_h = documents.select("doc_id", "text", F.md5("text").alias("_th"))
+    reps = docs_h.groupBy("_th").agg(
+        # texts within a class are identical, so any member's text works
+        F.min("doc_id").alias("doc_id"),
+        F.first("text").alias("text"),
+    )
+    sig = minhash_signature(reps, num_hashes, shingle_n)
     # the banded frame carries ONLY (doc_id, band, bucket); candidate pairs
     # come from ONE groupBy per (band, bucket) with an in-bucket pair explode
     # (bucket populations are O(near-dup-group) by LSH construction) — no
@@ -128,33 +158,69 @@ def minhash_lsh_pairs(
 
     pairs = bucket_pairs(banded, ["band", "bucket"], "doc_id")
     # exact-Jaccard verification (no false positives in the output): texts are
-    # re-read for the few surviving pair ids only; the tiny pair set drives
-    # broadcast joins against the documents table
-    txt = documents.select("doc_id", "text")
+    # re-read for the surviving REPRESENTATIVE pair ids only. No broadcast
+    # hint: the pair set is O(near-dups) — NOT broadcast-sized at 10^10 docs
+    # with realistic dup rates — so these are plain keyed joins (AQE picks
+    # broadcast itself when the set really is tiny).
+    txt = reps.select("doc_id", "text")
     cand = (
-        F.broadcast(pairs)
+        pairs
         .join(txt.select(F.col("doc_id").alias("a"), F.col("text").alias("ta")), "a")
         .join(txt.select(F.col("doc_id").alias("b"), F.col("text").alias("tb")), "b")
     )
     sa = F.array_distinct(shingles_expr(F.col("ta"), shingle_n))
     sb = F.array_distinct(shingles_expr(F.col("tb"), shingle_n))
     jac = F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb))
-    return (
+    rep_pairs = (
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+    # expand representative pairs to member pairs (classes are disjoint, so
+    # no pair is produced twice) and add the identical-class pairs directly
+    rm = docs_h.select("_th", F.col("doc_id").alias("_m")).join(
+        reps.select("_th", F.col("doc_id").alias("_rep")), "_th"
+    ).select("_rep", "_m")
+    expanded = (
+        rep_pairs
+        .join(rm.select(F.col("_rep").alias("a"), F.col("_m").alias("ma")), "a")
+        .join(rm.select(F.col("_rep").alias("b"), F.col("_m").alias("mb")), "b")
+        .select(
+            F.least("ma", "mb").alias("a"),
+            F.greatest("ma", "mb").alias("b"),
+            "jaccard",
+        )
+    )
+    ingroup = (
+        docs_h.select("_th", F.col("doc_id").alias("a"))
+        .join(docs_h.select("_th", F.col("doc_id").alias("b")), "_th")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(1.0).alias("jaccard"))
+    )
+    return expanded.unionByName(ingroup)
 
 
-def bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+def bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
     """Distinct candidate pairs (a<b) of ids sharing a bucket — one shuffle.
 
     ``collect_list`` per bucket + in-bucket combination explode replaces the
     classic bucket self-join: same output, half the upstream compute (the
     self-join evaluates its child twice), no cache needed. Bucket populations
-    must be small (LSH guarantees O(near-dup-group) sizes); a degenerate
-    corpus where everything collides would concentrate in one task — the same
-    quadratic blowup the self-join formulation has.
+    are small under LSH (O(near-dup-group) sizes).
+
+    Degenerate buckets — a boilerplate-heavy corpus where one bucket holds
+    millions of ids — would put a quadratic explode in ONE task. Buckets
+    larger than ``max_bucket_size`` therefore take a different physical path
+    with IDENTICAL output (nothing is dropped): their ids are re-exploded and
+    self-joined on the bucket key, which AQE's skew-join split distributes
+    across tasks. Both branches filter the same aggregate, so the expensive
+    child (the signature computation + its shuffle) is planned once and the
+    exchange is reused (ReuseExchange), not recomputed.
 
     ``id_col`` may be a struct column whose FIRST field is the id (payload
     fields ride along into the output pairs); pairs are ordered/deduplicated
@@ -171,11 +237,20 @@ def bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFram
             ),
         )
     )
-    return (
-        grouped.select(F.explode(combos).alias("p"))
+    small_pairs = (
+        grouped.filter(F.size("ids") <= max_bucket_size)
+        .select(F.explode(combos).alias("p"))
         .select("p.a", "p.b")
-        .dropDuplicates(["a", "b"])
     )
+    big = grouped.filter(F.size("ids") > max_bucket_size)
+    bl = big.select(*bucket_cols, F.explode("ids").alias("a"))
+    br = big.select(*bucket_cols, F.explode("ids").alias("b"))
+    big_pairs = (
+        bl.join(br, bucket_cols)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    return small_pairs.unionByName(big_pairs).dropDuplicates(["a", "b"])
 
 
 def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -278,8 +353,9 @@ def _plane_weight(i: int, p: int) -> float:
     plane p): xxhash64 of "i_p" → truncated Java %, scaled to [-1, 1). Driver-
     side and LITERAL in the plan — the naive in-expression form cost
     dims×planes runtime hashes per row (4096 for 64-dim × 64-plane banding)
-    and blew up codegen; the values (and hence all sketches and the fixture
-    oracles, which mirror this exact formula in pure Python) are unchanged.
+    and blew up codegen. The values match the co-regenerated fixture oracles
+    (tools/make_fixtures.py mirrors this formula); xxhash64_py's bit-parity
+    with Spark's native xxhash64 is pinned separately by test_canonical.
     No stored model: reproducible anywhere from the formula alone."""
     from .canonical import xxhash64_py
 
@@ -393,14 +469,17 @@ def embedding_near_dup_pairs(
         banded_sketch_expr(F.col("embedding"), bands, planes_per_band).alias("sketches"),
     )
     # the bucket shuffle carries ONLY (vec_id, band, sketch); embeddings are
-    # re-read for the few surviving pair ids (broadcast joins) — at 10^10
-    # vectors dragging the float arrays through collect_list/dedup would
-    # dominate the shuffle
+    # re-read for the surviving pair ids via keyed joins — at 10^10 vectors
+    # dragging the float arrays through collect_list/dedup would dominate the
+    # shuffle
     banded = sk.select("vec_id", F.posexplode("sketches").alias("band", "sketch"))
     pairs = bucket_pairs(banded, ["band", "sketch"], "vec_id")
     vecs = embeddings.select("vec_id", "embedding")
+    # no broadcast hint: the pair set is O(near-dups) — gigabytes at 10^10
+    # vectors with realistic dup rates — so these are plain keyed joins on the
+    # ids (AQE still picks broadcast itself when the set really is tiny)
     cand = (
-        F.broadcast(pairs)
+        pairs
         .join(vecs.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea")), "a")
         .join(vecs.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb")), "b")
     )

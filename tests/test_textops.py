@@ -47,6 +47,34 @@ def test_minhash_jaccard_exact_for_identical(docs):
     assert any(r["a"] == 1 and r["b"] == 2 and r["jaccard"] == 1.0 for r in rows)
 
 
+def test_minhash_degenerate_all_duplicates(spark):
+    """An all-identical corpus — the common degenerate case in web data — must
+    not concentrate a quadratic explode in one LSH task: the exact-dup
+    pre-pass collapses it to ONE representative before any bucketing, and the
+    full pair set comes out of the distributed class self-join."""
+    n = 500
+    rows = [(i, "exact same boilerplate error page text repeated here") for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_lsh_pairs(df, jaccard_threshold=0.9)
+    assert out.count() == n * (n - 1) // 2
+    sample = out.filter((F.col("a") == 0)).collect()
+    assert len(sample) == n - 1 and all(r["jaccard"] == 1.0 for r in sample)
+
+
+def test_bucket_pairs_big_bucket_same_output(spark):
+    """Buckets over max_bucket_size take the join path; output is identical
+    to the explode path (nothing silently dropped)."""
+    from crawlspark.textops import bucket_pairs
+
+    rows = [("big", i) for i in range(40)] + [("small", i) for i in range(100, 103)]
+    df = spark.createDataFrame(rows, ["bkt", "id"])
+    small_path = {(r["a"], r["b"]) for r in bucket_pairs(df, ["bkt"], "id", 1024).collect()}
+    hybrid = {(r["a"], r["b"]) for r in bucket_pairs(df, ["bkt"], "id", 10).collect()}
+    assert hybrid == small_path
+    assert len(hybrid) == 40 * 39 // 2 + 3
+    assert all(a < b for a, b in hybrid)
+
+
 def test_simhash_identical_and_near(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sh[1] == sh[2]

@@ -126,12 +126,16 @@ def shingle_set(text: str, n: int = 3) -> list[str]:
 
 
 def minhash_sig(text: str, num: int = 16) -> list[int]:
+    # mirrors textops.minhash_signature: both base hashes logically
+    # right-shifted into [0, 2^(64-shift)) so h1 + j*h2 < 2^63 for every
+    # j < num — plain non-wrapping integer arithmetic, ANSI-session-safe
+    shift = (num - 1).bit_length() + 1
     mins = [0x7FFFFFFFFFFFFFFF] * num
     for s in shingle_set(text):
-        h1 = xxhash64_py(s)
-        h2 = xxhash64_py("mh2|" + s)
+        h1 = (xxhash64_py(s) & (_M64 - 1)) >> shift
+        h2 = (xxhash64_py("mh2|" + s) & (_M64 - 1)) >> shift
         for j in range(num):
-            v = i64(h1 + j * h2)
+            v = h1 + j * h2
             if v < mins[j]:
                 mins[j] = v
     return mins

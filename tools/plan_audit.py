@@ -111,12 +111,16 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     q = minhash_lsh_pairs(docs, jaccard_threshold=0.8)
     p = fmt(q)
+    analyzed = q._jdf.queryExecution().analyzed().toString()
     sections.append(
         ("MinHash LSH: bucket groupBy candidates (no self-join, no cartesian)", p,
          [("no CartesianProduct / BroadcastNestedLoop on the candidate path",
            "CartesianProduct" not in p),
           ("signature subtree evaluated once (single ObjectHashAggregate/"
-           "HashAggregate pair over the banded explode)", "Generate" in p)])
+           "HashAggregate pair over the banded explode)", "Generate" in p),
+          ("no forced broadcast of the candidate-pair set (no hint in the "
+           "analyzed plan; O(near-dups) is not broadcast-sized at 10^10 docs)",
+           "ResolvedHint" not in analyzed)])
     )
 
     # 8. ANN top-k: TakeOrderedAndProject, no global Window
@@ -132,11 +136,14 @@ def main() -> None:
     # 9. embedding near-dup: banded bucket aggregation, no n² join
     q = embedding_near_dup_pairs(emb, threshold=0.999)
     p = fmt(q)
+    analyzed = q._jdf.queryExecution().analyzed().toString()
     sections.append(
         ("Embedding near-dup: banded sketches, bucket agg, no cartesian", p,
          [("no CartesianProduct/BroadcastNestedLoop", "CartesianProduct" not in p
            and "BroadcastNestedLoop" not in p),
-          ("posexplode of band sketches present", "Generate" in p)])
+          ("posexplode of band sketches present", "Generate" in p),
+          ("no forced broadcast of the candidate-pair set",
+           "ResolvedHint" not in analyzed)])
     )
 
     # 10. distributed bloom build: executor-side cogroup, no driver collect
