@@ -195,15 +195,27 @@ class Crawler:
         c = self.settings.crawl
         return PartitionedBloom(c.bloom_bits, c.bloom_hashes, c.seen_buckets)
 
-    def _load_state(self):
-        """(frontier, seen, bloom, next_key, next_round) from the last commit."""
-        last = self.wh.last_round()
-        if last < 0:
-            frontier = self._apply_debug_window(self._seed)
-            seen = self.spark.createDataFrame([], schemas.SEEN)
-            return frontier, seen, self._new_bloom(), 1, 0
-        frontier = self.wh.read_state(self.spark, "frontier", schemas.FRONTIER)
-        seen = self.wh.read_state(self.spark, "seen", schemas.SEEN)
+    def _bloom_probe_mode(self) -> str:
+        """'broadcast' (small filter: collect + ship whole) or 'routed'
+        (bucket-cogrouped probe; the filter never leaves the executors).
+        'auto' switches on the statically-known total bitmap size — at 10^10
+        URLs a useful bloom is 10+ GB and MUST take the routed path."""
+        c = self.settings.crawl
+        if c.bloom_probe != "auto":
+            return c.bloom_probe
+        total = (c.bloom_bits // 8 + 1) * c.seen_buckets
+        return "broadcast" if total <= c.bloom_broadcast_max_bytes else "routed"
+
+    def _bloom_from_warehouse(self):
+        """Current bloom state in the representation the probe mode needs:
+        a driver PartitionedBloom (broadcast mode) or the warehouse DataFrame
+        itself (routed mode — never collected)."""
+        if self._bloom_probe_mode() == "routed":
+            return (
+                self.wh.read_state(self.spark, "bloom")
+                if self.wh.has_table("bloom")
+                else None
+            )
         bloom = self._new_bloom()
         if self.wh.has_table("bloom"):
             rows = self.wh.read_state(self.spark, "bloom").collect()
@@ -211,6 +223,19 @@ class Crawler:
                 bloom = PartitionedBloom.from_rows(
                     [(r["bucket"], r["bitmap"], r["bits"], r["k"], r["n_buckets"]) for r in rows]
                 )
+        return bloom
+
+    def _load_state(self):
+        """(frontier, seen, bloom, next_key, next_round) from the last commit."""
+        last = self.wh.last_round()
+        if last < 0:
+            frontier = self._apply_debug_window(self._seed)
+            seen = self.spark.createDataFrame([], schemas.SEEN)
+            fresh = None if self._bloom_probe_mode() == "routed" else self._new_bloom()
+            return frontier, seen, fresh, 1, 0
+        frontier = self.wh.read_state(self.spark, "frontier", schemas.FRONTIER)
+        seen = self.wh.read_state(self.spark, "seen", schemas.SEEN)
+        bloom = self._bloom_from_warehouse()
         mx = seen.agg(F.max("surrogate_key").alias("m")).collect()[0]["m"]
         return frontier, seen, bloom, (mx or 0) + 1, last + 1
 
@@ -265,9 +290,9 @@ class Crawler:
         round_: int,
         frontier: DataFrame,
         seen: DataFrame,
-        bloom: PartitionedBloom,
+        bloom: "PartitionedBloom | DataFrame | None",
         next_key: int,
-    ) -> tuple[RoundResult, DataFrame, DataFrame, PartitionedBloom, int]:
+    ) -> tuple[RoundResult, DataFrame, DataFrame, "PartitionedBloom | DataFrame | None", int]:
         s = self.settings.crawl
         sp = self.spark
         tm = _Timer(round_)
@@ -296,8 +321,14 @@ class Crawler:
         w_dup = Window.partitionBy("curl").orderBy(*[F.col(c).asc() for c in ORDER])
         base = base.withColumn("dup_rn", F.row_number().over(w_dup))
 
-        # 3. seen-set membership (bloom-routed exact confirm, seen.py)
-        base = split_new_vs_seen(base, seen, bloom if s.bloom_enabled else None).persist()
+        # 3. seen-set membership (bloom-routed exact confirm, seen.py) —
+        # `bloom` is a driver PartitionedBloom (broadcast probe, small
+        # filters) or the warehouse DataFrame (bucket-routed cogroup probe,
+        # the 10^10-URL path; settings.bloom_probe)
+        base = split_new_vs_seen(
+            base, seen, bloom if s.bloom_enabled else None,
+            bloom_buckets=s.seen_buckets,
+        ).persist()
 
         if s.budget_override is not None:  # bulk/bench mode
             budget = F.lit(s.budget_override)
@@ -536,11 +567,14 @@ class Crawler:
         # never collects url hashes. The cogroup job runs inside the commit's
         # parallel write wave.
         tm.lap("pre-bloom")
-        prev_bloom_df = (
-            self.wh.read_state(sp, "bloom")
-            if self.wh.has_table("bloom")
-            else (sp.createDataFrame(bloom.to_rows(), schemas.BLOOM) if bloom.bitmaps else None)
-        )
+        if self.wh.has_table("bloom"):
+            prev_bloom_df = self.wh.read_state(sp, "bloom")
+        elif isinstance(bloom, DataFrame):
+            prev_bloom_df = bloom
+        elif isinstance(bloom, PartitionedBloom) and bloom.bitmaps:
+            prev_bloom_df = sp.createDataFrame(bloom.to_rows(), schemas.BLOOM)
+        else:
+            prev_bloom_df = None
         bloom_df = distributed_bloom_update(
             new_seen.select("url_hash"),
             prev_bloom_df,
@@ -569,16 +603,10 @@ class Crawler:
         tm.lap("commit")
         for df in (base, elig, cand, statused, extracted, *_pins):
             df.unpersist()
-        # next round's bloom probe: rebuild from the committed (tiny) bitmap
-        # table — correct on both the normal and the idempotent-re-commit path
-        brows = self.wh.read_state(sp, "bloom").collect()
-        bloom = (
-            PartitionedBloom.from_rows(
-                [(r["bucket"], r["bitmap"], r["bits"], r["k"], r["n_buckets"]) for r in brows]
-            )
-            if brows
-            else self._new_bloom()
-        )
+        # next round's bloom probe: rebuild from the committed bitmap table —
+        # correct on both the normal and the idempotent-re-commit path. In
+        # routed mode this is just the table handle (never collected).
+        bloom = self._bloom_from_warehouse()
 
         # re-read committed state so the next round's plan starts from files,
         # not from an ever-growing lineage

@@ -13,9 +13,14 @@ Engine design (north_rule):
   Bloom reports as possibly-seen are confirmed by an exact anti-join against
   the seen table; hashes it reports as definitely-new skip that join entirely.
   The final seen set is therefore exactly the reference's (BASELINE.json:2).
-* the Bloom filter is *partitioned* by hash range (``pmod(url_hash, buckets)``)
-  so at 10^10 URLs each executor touches only its bucket's bitmap; in local
-  mode the bucket arrays travel in one broadcast.
+* the Bloom filter is *partitioned* by hash range (``url_hash & (buckets-1)``)
+  and BOTH sides honor it: the build is a per-bucket cogroup
+  (distributed_bloom_update) and the scale-path probe is too
+  (bloom_probe_routed) — at 10^10 URLs no task, executor, or the driver ever
+  holds more than one bucket's bitmap. Small filters (≤
+  settings.bloom_broadcast_max_bytes total) may instead ship whole via one
+  broadcast (bloom_filter_column) — fewer shuffles, local-mode default; the
+  scheduler picks per settings.bloom_probe.
 * dense key assignment avoids a global single-partition sort: per-host
   row_number + host-offset cumulative sum (the host-count table is tiny), so
   the only global ordering work is over n_hosts rows, not n_urls.
@@ -121,6 +126,12 @@ def bloom_filter_column(bloom: PartitionedBloom | None, hash_col: str):
     everything is "possibly seen" (falls back to the exact join). The bitmap
     payload ships once per executor as a Spark broadcast, not in the task
     closure.
+
+    LOCAL-MODE / SMALL-FILTER PATH ONLY: this ships the WHOLE filter to every
+    executor, which is wrong at 10^10 URLs (a useful bloom is 10+ GB). The
+    scheduler gates it behind ``CrawlSettings.bloom_probe`` — filters above
+    ``bloom_broadcast_max_bytes`` take ``bloom_probe_routed`` instead, where
+    each task sees only its bucket's bitmap.
     """
     if bloom is None or not bloom.bitmaps:
         return F.lit(True)
@@ -135,18 +146,68 @@ def bloom_filter_column(bloom: PartitionedBloom | None, hash_col: str):
     return probe(F.col(hash_col))
 
 
+def bloom_probe_routed(
+    keys: DataFrame, bloom_df: DataFrame, n_buckets: int, hash_col: str = "h"
+) -> DataFrame:
+    """Bucket-routed Bloom probe — the 10^10-URL path.
+
+    ``keys`` (one long column ``hash_col``) is shuffled by
+    ``url_hash & (n_buckets-1)`` and cogrouped with ONLY that bucket's bitmap
+    row, mirroring the build (distributed_bloom_update): no task, executor, or
+    the driver ever holds more than one bucket's bitmap. Returns
+    (``hash_col``, maybe boolean). Buckets with no bitmap row report
+    definitely-new (nothing was ever added there).
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    kb = keys.select(
+        F.col(hash_col).alias("h"),
+        F.col(hash_col).bitwiseAND(F.lit(n_buckets - 1)).cast("int").alias("bucket"),
+    )
+    blm = bloom_df.select("bucket", "bitmap", "bits", "k", "n_buckets")
+
+    def probe(key, k_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(k_pdf):
+            return pd.DataFrame(
+                {"h": pd.Series(dtype="int64"), "maybe": pd.Series(dtype=bool)}
+            )
+        h = k_pdf["h"].to_numpy(dtype=np.int64)
+        if not len(b_pdf):
+            maybe = np.zeros(len(h), dtype=bool)
+        else:
+            r = b_pdf.iloc[0]
+            bl = PartitionedBloom.from_rows(
+                [(int(r["bucket"]), r["bitmap"], int(r["bits"]), int(r["k"]), int(r["n_buckets"]))]
+            )
+            maybe = bl.might_contain(h)
+        return pd.DataFrame({"h": h, "maybe": maybe})
+
+    return (
+        kb.groupBy("bucket")
+        .cogroup(blm.groupBy("bucket"))
+        .applyInPandas(probe, "h long, maybe boolean")
+        .withColumnRenamed("h", hash_col)
+    )
+
+
 def split_new_vs_seen(
     batch: DataFrame,
     seen: DataFrame,
-    bloom: PartitionedBloom | None,
+    bloom: "PartitionedBloom | DataFrame | None",
     hash_col: str = "url_hash",
     url_col: str | None = None,
+    bloom_buckets: int | None = None,
 ) -> DataFrame:
     """Adds ``is_seen`` boolean: exact membership of batch[hash_col] in seen.
 
     Bloom-negative rows bypass the join (provably new); bloom-positive rows are
     confirmed with a left-semi/anti join pair expressed as a left join on the
     deduplicated seen keys — one shuffle over only the candidate subset.
+
+    ``bloom`` may be a driver-side PartitionedBloom (small filters: one
+    broadcast, zero extra shuffles) or the bloom *DataFrame* straight from the
+    warehouse (scale path: bucket-routed cogroup probe, the filter is never
+    collected or broadcast whole — pass ``bloom_buckets``).
 
     Membership is confirmed on the canonical-URL *string*, not the 64-bit hash
     alone (at a 10^10-URL seen set the birthday bound expects ~3 xxhash64
@@ -158,7 +219,23 @@ def split_new_vs_seen(
         url_col = "curl" if "curl" in batch.columns else (
             "url" if "url" in batch.columns and "url" in seen.columns else None
         )
-    maybe = batch.withColumn("_maybe", bloom_filter_column(bloom, hash_col))
+    if isinstance(bloom, DataFrame):
+        assert bloom_buckets, "bloom_buckets required for the routed probe"
+        probed = bloom_probe_routed(
+            batch.select(F.col(hash_col).alias("_ph")).distinct(),
+            bloom,
+            bloom_buckets,
+            "_ph",
+        )
+        maybe = (
+            batch.join(probed, F.col(hash_col) == F.col("_ph"), "left")
+            # every batch hash is in probed; True only as a safe fallback
+            # (falls into the exact confirm, never skips it)
+            .withColumn("_maybe", F.coalesce(F.col("maybe"), F.lit(True)))
+            .drop("_ph", "maybe")
+        )
+    else:
+        maybe = batch.withColumn("_maybe", bloom_filter_column(bloom, hash_col))
     confirm_cols = [F.col(hash_col).alias("_seen_hash")]
     cond = F.col("_maybe") & (F.col(hash_col) == F.col("_seen_hash"))
     if url_col is not None:

@@ -52,6 +52,13 @@ class CrawlSettings:
     bloom_hashes: int = 5
     seen_buckets: int = 32              # hash-range partitions of the seen table
     salt_partitions: int = 0            # 0 = spark.sql.shuffle.partitions
+    # probe routing: 'broadcast' ships the whole filter to every executor
+    # (local-mode / small-filter only), 'routed' cogroups each batch bucket
+    # with ONLY its bitmap row (the 10^10-URL path: a useful bloom is 10+ GB
+    # there and must never be collected or broadcast whole), 'auto' picks by
+    # total filter size vs bloom_broadcast_max_bytes
+    bloom_probe: str = "auto"
+    bloom_broadcast_max_bytes: int = 64 << 20
 
 
 @dataclass

@@ -48,9 +48,9 @@ def oracle(settings: Settings):
     )
 
 
-def run_crawler(spark, synth_dfs, wh_dir, max_rounds=None):
+def run_crawler(spark, synth_dfs, wh_dir, max_rounds=None, overrides=None):
     pages, frontier, robots, cache_df = synth_dfs
-    settings = Settings.new()
+    settings = Settings.new(overrides=overrides)
     wh = Warehouse(wh_dir)
     crawler = Crawler(
         spark, settings, wh, synth.golden_fields(), pages, robots, frontier, cache_df
@@ -138,6 +138,19 @@ def test_listing_view(spark, full_run):
     assert [r for r in rows if r["isGeoReferenced"]]
     # links: even pages carry an extracted URI, odd pages the proposal
     assert any(r["link"].startswith("https://landing") for r in rows)
+
+
+def test_crawl_routed_bloom_matches_oracle(spark, synth_dfs, tmp_path):
+    """Scale-path probe (bucket-routed cogroup, no driver collect / whole-
+    filter broadcast) produces the exact same crawl as the broadcast probe."""
+    settings, wh, _ = run_crawler(
+        spark, synth_dfs, tmp_path / "whR",
+        overrides={"crawl": {"bloom_probe": "routed"}},
+    )
+    sim = oracle(settings)
+    log, seen, _ = collect_state(spark, wh)
+    assert log == sim.crawl_order
+    assert seen == sim.seen
 
 
 def test_kill_and_resume_exact(spark, synth_dfs, full_run, tmp_path):

@@ -48,6 +48,59 @@ def test_split_new_vs_seen_exact(spark):
     assert out == out2
 
 
+def test_routed_probe_matches_broadcast(spark):
+    """Bucket-routed cogroup probe == driver-side might_contain, bit for bit
+    (same positions, same bitmaps; only the transport differs)."""
+    from crawlspark import schemas
+    from crawlspark.seen import bloom_probe_routed, distributed_bloom_update
+
+    n_buckets, bits, k = 8, 1 << 12, 3
+    added = spark.range(500).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    bloom_df = distributed_bloom_update(added, None, bits, k, n_buckets)
+    # materialize once so both probes see identical state
+    rows = bloom_df.collect()
+    bloom_df = spark.createDataFrame(rows, schemas.BLOOM)
+    bl = PartitionedBloom.from_rows(
+        [(r["bucket"], r["bitmap"], r["bits"], r["k"], r["n_buckets"]) for r in rows]
+    )
+
+    probe_keys = spark.range(2000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("h")
+    )
+    routed = {
+        r["h"]: r["maybe"]
+        for r in bloom_probe_routed(probe_keys, bloom_df, n_buckets).collect()
+    }
+    hs = np.array(sorted(routed), dtype=np.int64)
+    local = dict(zip(hs.tolist(), bl.might_contain(hs).tolist()))
+    assert routed == local
+    # every added hash must still report possibly-seen (no false negatives)
+    assert all(routed[r["h"]] for r in added.select(F.col("url_hash").alias("h")).collect())
+
+
+def test_split_new_vs_seen_routed_df(spark):
+    """split_new_vs_seen with the warehouse DataFrame form of the bloom."""
+    from crawlspark.seen import distributed_bloom_update
+
+    batch = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(20)], ["url_hash", "url"]
+    )
+    seen = spark.createDataFrame(
+        [(i, f"u{i}", i, 0) for i in range(0, 20, 2)],
+        ["url_hash", "url", "surrogate_key", "first_round"],
+    )
+    bloom_df = distributed_bloom_update(
+        seen.select("url_hash"), None, 1 << 10, 3, 4
+    )
+    out = {
+        r["url_hash"]: r["is_seen"]
+        for r in split_new_vs_seen(batch, seen, bloom_df, bloom_buckets=4).collect()
+    }
+    assert all(out[i] == (i % 2 == 0) for i in range(20))
+
+
 def _ranks(rows):
     return {r["k"]: r["seq"] for r in rows}
 

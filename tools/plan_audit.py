@@ -157,6 +157,19 @@ def main() -> None:
          [("FlatMapCoGroupsInPandas operator", "FlatMapCoGroupsInPandas" in p)])
     )
 
+    # 11. routed bloom probe: per-bucket cogroup, no whole-filter broadcast
+    from crawlspark.seen import bloom_probe_routed
+
+    bloom_df = distributed_bloom_update(hashes, None, 1 << 16, 5, 32)
+    keys = spark.range(500).select(F.xxhash64(F.col("id").cast("string")).alias("h"))
+    q = bloom_probe_routed(keys, bloom_df, 32)
+    p = fmt(q)
+    sections.append(
+        ("Bloom probe (scale path): per-bucket cogroup, filter never broadcast", p,
+         [("FlatMapCoGroupsInPandas operator", "FlatMapCoGroupsInPandas" in p),
+          ("no broadcast of the bitmap table", "BroadcastExchange" not in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
