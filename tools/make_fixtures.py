@@ -254,14 +254,16 @@ def cosine(a: list[float], b: list[float]) -> float:
 
 
 def ann_lsh_fixture(embs) -> pa.Table:
+    # mirrors textops.ann_lsh_topk with multi_probe=True: candidate buckets
+    # are the query's sketch plus its `planes` hamming-1 neighbors
     planes, k, qid = 6, 10, 0
     sk = {vid: sign_sketch(vec, planes) for vid, vec in embs}
     vecs = dict(embs)
-    q = sk[qid]
+    probes = {sk[qid]} | {sk[qid] ^ (1 << p) for p in range(planes)}
     scored = [
         (cosine(vecs[vid], vecs[qid]), vid)
         for vid, s in sk.items()
-        if vid != qid and s == q
+        if vid != qid and s in probes
     ]
     scored.sort(key=lambda t: (-t[0], t[1]))
     top = scored[:k]
