@@ -160,7 +160,10 @@ def q_s14b_surrogate_keys(spark, sf):
     from crawlspark.seen import dense_rank_range
 
     e = _t(spark, sf, "events")
-    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    # persisted: repartitionByRange samples its child in a separate job, which
+    # would otherwise recompute this aggregation twice (the cache is
+    # user-count-sized, tiny relative to events)
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts")).persist()
     return dense_rank_range(
         firsts, ["first_ts", "user_id"], out_col="surrogate_key"
     ).select("user_id", "first_ts", "surrogate_key")

@@ -298,8 +298,9 @@ def write_baseline_md(crawl: dict, timings: dict[str, float]) -> None:
         "thread + 1 Python worker — without the pin a local[4] run free-roams",
         "all 32 host vCPUs through its Python workers and GC threads,",
         "silently out-sizing the 'small cluster'), and its heap scales at",
-        "1.5 GiB/core (each executor brings its own memory slice). Best of 3",
-        "timed crawls in a warm JVM (workers + codegen pre-spun).",
+        "1.5 GiB/core (each executor brings its own memory slice). Best of",
+        f"{os.environ.get('CRAWLSPARK_BENCH_REPEATS', '2')} timed crawls in a",
+        "warm JVM (workers + codegen pre-spun).",
         "",
         "### Why the strong-scaling number is an environment floor",
         "",
