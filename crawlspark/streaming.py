@@ -41,11 +41,13 @@ def discovered_urls_stream(
     unseen urls appended to the warehouse (micro-batch via foreachBatch so
     the batch primitives — enrich/anti-join/commit — are reused verbatim)."""
     stream = frontier_stream(spark, input_dir)
-    # commits are keyed on batch_id (offset by the warehouse's state at stream
-    # start): a Spark micro-batch RETRY redelivers the same batch_id, maps to
-    # the same round number, and hits commit_round's idempotent no-op — a
-    # fresh last_round()+1 per attempt would append the batch twice
-    base_round = warehouse.last_round()
+    # commits are keyed on batch_id offset by a PERSISTED per-checkpoint
+    # epoch (warehouse.stream_epoch): a micro-batch redelivered on retry OR
+    # after a stream restart (committed here, not yet in Spark's checkpoint
+    # when the stream died) maps to the same round number and hits
+    # commit_round's idempotent no-op — re-reading last_round() at each
+    # stream start would re-base such a batch and append it twice
+    base_round = warehouse.stream_epoch(str(checkpoint_dir))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         seen = warehouse.read_state(spark, "seen", schemas.SEEN)

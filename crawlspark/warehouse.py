@@ -51,6 +51,24 @@ class Warehouse:
     def last_round(self) -> int:
         return self.manifest()["last_round"]
 
+    def stream_epoch(self, checkpoint_key: str) -> int:
+        """Base round for a streaming query, persisted ON FIRST START keyed by
+        its checkpoint location.
+
+        Batch-id-keyed idempotent commits need ``round = epoch + batch_id + 1``
+        with an epoch that is stable across stream RESTARTS: re-reading
+        ``last_round()`` on every start would re-base a redelivered batch
+        (committed here but not yet recorded in Spark's checkpoint when the
+        stream died) onto a fresh round number, bypassing commit_round's
+        idempotent no-op and appending it twice.
+        """
+        m = self.manifest()
+        epochs = m.setdefault("stream_epochs", {})
+        if checkpoint_key not in epochs:
+            epochs[checkpoint_key] = m["last_round"]
+            self._write_manifest(m)
+        return epochs[checkpoint_key]
+
     # -- commit ------------------------------------------------------------
     def commit_round(
         self,

@@ -86,3 +86,39 @@ def test_streaming_discovery(spark, tmp_path):
     hashes = [r["url_hash"] for r in out]
     assert len(hashes) == len(set(hashes))
     assert all(r["curl"].startswith("https://host") for r in out)
+
+    # RESTART with the same checkpoint: nothing new to read, and the
+    # persisted stream epoch keeps every batch-id → round mapping stable, so
+    # no batch can be re-appended
+    q2 = discovered_urls_stream(
+        spark, str(in_dir / "drop1"), wh, robots, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    time.sleep(0.5)
+    out2 = wh.read_appends(spark, "discovered").collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+def test_stream_epoch_stable_across_restarts(tmp_path):
+    """The redelivery hole ADVICE flagged: a batch committed to the warehouse
+    but not yet in Spark's checkpoint is redelivered with the SAME batch_id
+    after a restart — it must map to the SAME round (idempotent no-op), even
+    though last_round() has advanced in between."""
+    import pyarrow as pa
+
+    from crawlspark.warehouse import Warehouse
+
+    wh = Warehouse(tmp_path / "wh")
+    epoch = wh.stream_epoch("ckpt-A")
+    assert epoch == -1
+    # batch 0 commits round epoch+0+1, then the stream dies pre-checkpoint
+    r0 = epoch + 0 + 1
+    assert wh.commit_round(r0, local_appends={"t": pa.table({"x": [1]})}) is True
+
+    # restart: fresh Warehouse object, same checkpoint location
+    wh2 = Warehouse(tmp_path / "wh")
+    assert wh2.stream_epoch("ckpt-A") == epoch          # NOT re-based
+    # redelivered batch 0 maps to the same round -> idempotent no-op
+    assert wh2.commit_round(epoch + 0 + 1, local_appends={"t": pa.table({"x": [1]})}) is False
+    # a different checkpoint (new stream) gets its own epoch
+    assert wh2.stream_epoch("ckpt-B") == wh2.last_round()
