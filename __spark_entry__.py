@@ -427,6 +427,18 @@ def q_multimodal_image(spark, sf):
     return decode_image_features(d).select("doc_id", "width", "height", "n_bytes", "decoder")
 
 
+def q_multimodal_png(spark, sf):
+    # REAL decode branch: deterministic PNG payloads (pure-stdlib encoder,
+    # executor-side) roundtripped through the pure-stdlib PNG decoder — the
+    # oracle checks decoded width/height/mode against the encode parameters
+    from crawlspark.multimodal import decode_image_features, synth_png_payloads
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return decode_image_features(synth_png_payloads(d)).select(
+        "doc_id", "width", "height", "mode", "decoder"
+    )
+
+
 def q_multimodal_frames(spark, sf):
     from crawlspark.multimodal import documents_as_binary, frame_sample
 
@@ -470,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "multimodal_image": q_multimodal_image,
+        "multimodal_png": q_multimodal_png,
         "multimodal_frames": q_multimodal_frames,
     }
 
@@ -708,17 +721,25 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": f"""
             SELECT a, b FROM read_parquet('{_FIXTURES}/embed_neardup.parquet')
         """,
-        # the multimodal stub decoders are deterministic functions of the
-        # payload bytes (all-ASCII testdata text ⇒ byte i == code point i)
+        # the multimodal stub decoder is a deterministic function of the
+        # payload BYTE LENGTH only (no byte/encoding assumptions)
         "multimodal_image": """
             SELECT doc_id,
-                   CAST(CASE WHEN length(text) = 0 THEN 1
-                             ELSE 1 + ord(substr(text, 1, 1)) % 64 END AS int) AS width,
-                   CAST(CASE WHEN length(text) = 0 THEN 1
-                             ELSE 1 + ord(substr(text, length(text), 1)) % 64 END AS int) AS height,
+                   CAST(1 + octet_length(encode(text)) % 64 AS int) AS width,
+                   CAST(1 + (octet_length(encode(text)) // 64) % 64 AS int) AS height,
                    CAST(octet_length(encode(text)) AS bigint) AS n_bytes,
                    'stub' AS decoder
             FROM documents
+        """,
+        # real-PNG roundtrip: decoded dims/mode must equal the encode
+        # parameters, which are pure functions of doc_id
+        "multimodal_png": """
+            SELECT doc_id,
+                   CAST(1 + doc_id % 64 AS int) AS width,
+                   CAST(1 + (doc_id // 64) % 64 AS int) AS height,
+                   'L' AS mode,
+                   'real-png' AS decoder
+            FROM documents WHERE doc_id < 200
         """,
         "multimodal_frames": """
             SELECT doc_id, CAST(fi AS int) AS frame_index,
