@@ -310,36 +310,17 @@ def distributed_bloom_update(
     )
 
 
-def _collected_offsets(
-    counts: DataFrame, sums: list[tuple[str, str]], key: str = "_pid"
-) -> DataFrame:
-    """Exclusive prefix sums of ``sums`` computed ON THE DRIVER.
-
-    The counts frame has one row per shuffle PARTITION (not per data row) —
-    metadata-sized by construction, the same order of driver state as task
-    scheduling itself; collecting it is exactly RDD.zipWithIndex's strategy.
-    One tiny action replaces the lazy triangular join, whose 2-3 stages were
-    re-evaluated by EVERY downstream consumer of the ranked frame (the
-    broadcast subtree is not reused across separate actions) — measured ~1.7 s
-    of pure stage overhead per consumer at sf0.1."""
-    spark = counts.sparkSession
-    rows = sorted(counts.collect(), key=lambda r: r[key])
-    acc = [0] * len(sums)
-    out = []
-    for r in rows:
-        out.append((r[key], *acc))
-        acc = [a + (r[src] or 0) for a, (src, _) in zip(acc, sums)]
-    schema = f"{key} int, " + ", ".join(f"{dst} long" for _, dst in sums)
-    return spark.createDataFrame(out, schema)
-
-
 def _cumsum_offsets(counts: DataFrame, sums: list[tuple[str, str]], key: str = "_pid") -> DataFrame:
     """Exclusive prefix sums of ``sums`` columns ordered by ``key``, computed
     with a triangular self-join — O(p²) pairs over a frame bounded by the
-    shuffle-partition count (metadata-sized), never a global window. Used
-    where ``key`` is a DATA column (e.g. hosts in dense_rank_two_level) whose
-    cardinality may exceed what the driver should collect; partition-keyed
-    rankings use _collected_offsets instead."""
+    shuffle-partition count (metadata-sized), never a global window.
+
+    Deliberately LAZY (A/B-measured in round 3): a driver-side collect of the
+    counts would pin the range boundaries with one tiny action, but that
+    action serializes the ranked frame's cache fill BEFORE the round's big
+    combined-counters job instead of overlapping with it — 20.2k → 17.6k
+    urls/s at 16 cores on the 800k-page crawl. The lazy join's few extra tiny
+    stages per consumer are cheaper than the lost overlap."""
     strictly_before = F.col(f"_b.{key}") < F.col(f"_a.{key}")
     a, b = counts.alias("_a"), counts.alias("_b")
     aggs = [
@@ -381,11 +362,11 @@ def dense_rank_range(
     if keep is not None:
         keep.append(d)
     counts = d.groupBy("_pid").count()
-    # cumulative offsets over the TINY partition-count frame (≤
-    # n_shuffle_partitions rows), computed driver-side (_collected_offsets):
-    # one action that also materializes the persisted d, pinning the sampled
-    # range boundaries for every consumer
-    offsets = _collected_offsets(counts, [("count", "_off")])
+    # cumulative offsets via a triangular self-join over the TINY partition-
+    # count frame (≤ n_shuffle_partitions rows): no unpartitioned window, so
+    # nothing ever moves "all data to a single partition" — not even the
+    # bounded metadata frame
+    offsets = _cumsum_offsets(counts, [("count", "_off")])
     w_local = Window.partitionBy("_pid").orderBy(*oc)
     out = (
         d.withColumn("_rn", F.row_number().over(w_local))
@@ -423,10 +404,8 @@ def rank_and_key(
     counts = d.groupBy("_pid").agg(
         F.count("*").alias("_n"), F.sum(fint).alias("_nf")
     )
-    # driver-side cumsum over the tiny counts frame (see dense_rank_range);
-    # the lazy triangular join was re-evaluated by all four downstream
-    # consumers of the ranked frame every round
-    offsets = _collected_offsets(counts, [("_n", "_off"), ("_nf", "_foff")])
+    # triangular-join cumsum over the tiny counts frame (see dense_rank_range)
+    offsets = _cumsum_offsets(counts, [("_n", "_off"), ("_nf", "_foff")])
     w_local = Window.partitionBy("_pid").orderBy(*oc)
     out = (
         d.withColumn("_rn", F.row_number().over(w_local))

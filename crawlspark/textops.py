@@ -122,12 +122,27 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     docs_h = documents.select("doc_id", "text", F.md5("text").alias("_th"))
-    reps = docs_h.groupBy("_th").agg(
-        # texts within a class are identical, so any member's text works
-        F.min("doc_id").alias("doc_id"),
-        F.first("text").alias("text"),
+    # `reps` and `sig` are PERSISTED: lazy subtrees are NOT reused across
+    # separate join branches, so unpersisted, every consumer re-ran the
+    # scan+md5+groupBy (and the signature pass) — measured as a 9 s → 25 s
+    # battery regression. `sig` keeps its `shingles` column so the
+    # exact-Jaccard verify joins read PRECOMPUTED shingle sets from cache
+    # instead of re-shingling both texts of every candidate pair (the
+    # verify's dominant cost). MEMORY_AND_DISK; this is the op's working set
+    # (unique texts / their shingle sets). No collect_list of member ids
+    # anywhere: a degenerate class (millions of identical pages) stays
+    # row-per-member, never one giant array row.
+    reps = (
+        docs_h.groupBy("_th")
+        .agg(
+            # texts within a class are identical, so any member's text works
+            F.min("doc_id").alias("doc_id"),
+            F.first("text").alias("text"),
+        )
+        .persist()
     )
-    sig = minhash_signature(reps, num_hashes, shingle_n)
+    mem = docs_h.select("_th", "doc_id")
+    sig = minhash_signature(reps, num_hashes, shingle_n).persist()
     # the banded frame carries ONLY (doc_id, band, bucket); candidate pairs
     # come from ONE groupBy per (band, bucket) with an in-bucket pair explode
     # (bucket populations are O(near-dup-group) by LSH construction) — no
@@ -155,22 +170,23 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    # (bucket_pairs' two branches each re-derive `banded` — a cheap explode
+    # over the cached `sig`)
 
     pairs = bucket_pairs(banded, ["band", "bucket"], "doc_id")
-    # exact-Jaccard verification (no false positives in the output): texts are
-    # re-read for the surviving REPRESENTATIVE pair ids only. No broadcast
-    # hint: the pair set is O(near-dups) — NOT broadcast-sized at 10^10 docs
-    # with realistic dup rates — so these are plain keyed joins (AQE picks
-    # broadcast itself when the set really is tiny).
-    txt = reps.select("doc_id", "text")
+    # exact-Jaccard verification (no false positives in the output): the
+    # surviving REPRESENTATIVE pair ids join the cached sig frame for their
+    # precomputed shingle sets. No broadcast hint: the pair set is
+    # O(near-dups) — NOT broadcast-sized at 10^10 docs with realistic dup
+    # rates — so these are plain keyed joins (AQE picks broadcast itself when
+    # the set really is tiny).
+    sh = sig.select("doc_id", "shingles")
     cand = (
         pairs
-        .join(txt.select(F.col("doc_id").alias("a"), F.col("text").alias("ta")), "a")
-        .join(txt.select(F.col("doc_id").alias("b"), F.col("text").alias("tb")), "b")
+        .join(sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sb")), "b")
     )
-    sa = F.array_distinct(shingles_expr(F.col("ta"), shingle_n))
-    sb = F.array_distinct(shingles_expr(F.col("tb"), shingle_n))
-    jac = F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
     rep_pairs = (
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -178,7 +194,7 @@ def minhash_lsh_pairs(
     )
     # expand representative pairs to member pairs (classes are disjoint, so
     # no pair is produced twice) and add the identical-class pairs directly
-    rm = docs_h.select("_th", F.col("doc_id").alias("_m")).join(
+    rm = mem.select("_th", F.col("doc_id").alias("_m")).join(
         reps.select("_th", F.col("doc_id").alias("_rep")), "_th"
     ).select("_rep", "_m")
     expanded = (
@@ -192,8 +208,8 @@ def minhash_lsh_pairs(
         )
     )
     ingroup = (
-        docs_h.select("_th", F.col("doc_id").alias("a"))
-        .join(docs_h.select("_th", F.col("doc_id").alias("b")), "_th")
+        mem.select("_th", F.col("doc_id").alias("a"))
+        .join(mem.select("_th", F.col("doc_id").alias("b")), "_th")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", F.lit(1.0).alias("jaccard"))
     )
@@ -336,7 +352,9 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     window: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (per-
     partition top-k + driver merge — no single-partition shuffle), then ranks
     the k survivors by a broadcast self-count (k² comparisons, k≤~100)."""
-    topk = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+    topk = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k).persist()
+    # ^ k rows; both sides of the rank self-join read it — unpersisted, the
+    # full scoring scan ran twice
     l, r = topk.alias("l"), topk.alias("r")
     better = (F.col("r.cos") > F.col("l.cos")) | (
         (F.col("r.cos") == F.col("l.cos")) & (F.col("r.vec_id") < F.col("l.vec_id"))
@@ -501,7 +519,9 @@ def embedding_near_dup_pairs(
     # re-read for the surviving pair ids via keyed joins — at 10^10 vectors
     # dragging the float arrays through collect_list/dedup would dominate the
     # shuffle
-    banded = sk.select("vec_id", F.posexplode("sketches").alias("band", "sketch"))
+    banded = sk.select("vec_id", F.posexplode("sketches").alias("band", "sketch")).persist()
+    # ^ persisted: both bucket_pairs branches read it — unpersisted they each
+    # re-run the 64-projection sketch pass. 20 bytes × bands per vector.
     pairs = bucket_pairs(banded, ["band", "sketch"], "vec_id")
     vecs = embeddings.select("vec_id", "embedding")
     # no broadcast hint: the pair set is O(near-dups) — gigabytes at 10^10
