@@ -106,6 +106,22 @@ def q_s05_sanitize(spark, sf):
     )
 
 
+def q_s06_fetch_join(spark, sf):
+    # S6: fetch = equi-join of the frontier batch against the pages index
+    # (file_downloader.rs:13-28 reimagined as a distributed hit test;
+    # engine analog crawlspark/scheduler.py:336-401). SHUFFLE_HASH hint as in
+    # the engine: size estimates would pick broadcast for the
+    # compressed-parquet index, which is wrong at 10^10 pages.
+    d = _t(spark, sf, "documents")
+    want = d.select((F.col("doc_id") * 2).alias("want_id"))  # half will miss
+    idx = d.select(
+        F.col("doc_id").alias("p_id"), F.col("source").alias("p_src")
+    ).hint("SHUFFLE_HASH")
+    return want.join(idx, F.col("want_id") == F.col("p_id"), "left").select(
+        "want_id", F.col("p_src").isNotNull().alias("has_page")
+    )
+
+
 def q_s07_coalesce_fallback(spark, sf):
     # S7: fetch-recovery coalesce across sources (main.rs:182-203)
     s = _t(spark, sf, "supplier")
@@ -453,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s03_nested_projection": q_s03_nested_projection,
         "s04_limit_offset": q_s04_limit_offset,
         "s05_sanitize": q_s05_sanitize,
+        "s06_fetch_join": q_s06_fetch_join,
         "s07_coalesce_fallback": q_s07_coalesce_fallback,
         "s11_try_cast": q_s11_try_cast,
         "s12_landing_coalesce": q_s12_landing_coalesce,
@@ -536,6 +553,11 @@ def oracle_sql() -> dict[str, str]:
         "s05_sanitize": """
             SELECT c_custkey, regexp_replace(c_name, '[^a-zA-Z-]', '_', 'g') AS sanitized
             FROM customer
+        """,
+        "s06_fetch_join": """
+            SELECT d.doc_id * 2 AS want_id,
+                   (p.doc_id IS NOT NULL) AS has_page
+            FROM documents d LEFT JOIN documents p ON d.doc_id * 2 = p.doc_id
         """,
         "s07_coalesce_fallback": """
             SELECT s_suppkey, coalesce(n_name, 'UNKNOWN') AS nation_name
