@@ -412,6 +412,20 @@ def q_embed_neardup(spark, sf):
     return embedding_near_dup_pairs(e.unionByName(dups), threshold=0.999).orderBy("a", "b")
 
 
+def q_ann_knn_join(spark, sf):
+    # batch k-NN join (exact): top-5 corpus neighbors for every query vector
+    from crawlspark.textops import ann_knn_join_bruteforce
+
+    e = _t(spark, sf, "embeddings")
+    return ann_knn_join_bruteforce(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_gopher_quality(spark, sf):
+    from crawlspark.textops import gopher_quality_rules
+
+    return gopher_quality_rules(_t(spark, sf, "documents"))
+
+
 def q_lang_id(spark, sf):
     from crawlspark.textops import lang_id_heuristic
 
@@ -494,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "embed_neardup": q_embed_neardup,
+        "ann_knn_join": q_ann_knn_join,
+        "gopher_quality": q_gopher_quality,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -695,6 +711,46 @@ def oracle_sql() -> dict[str, str]:
                                 vec_id ASC) AS rank
               FROM embeddings WHERE vec_id <> 0
             ) WHERE rank <= 10
+        """,
+        "ann_knn_join": """
+            SELECT q_id, vec_id, rank FROM (
+              SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                                c.vec_id ASC) AS rank
+              FROM embeddings c, embeddings q
+              WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+            ) WHERE rank <= 5
+        """,
+        "gopher_quality": """
+            SELECT doc_id,
+                   cast(nw AS bigint) AS n_words,
+                   round(length(text) * 1.0 / nw, 6) AS mean_word_len,
+                   cast(aw AS bigint) AS alpha_words,
+                   round(aw * 1.0 / nw, 6) AS alpha_word_ratio,
+                   cast(sh AS bigint) AS stopword_hits,
+                   (nw >= 20 AND nw <= 100000) AS ok_word_count,
+                   (length(text) * 1.0 / nw >= 3.0 AND length(text) * 1.0 / nw <= 10.0)
+                     AS ok_mean_word_len,
+                   (aw * 1.0 / nw >= 0.8) AS ok_alpha_ratio,
+                   (sh >= 2) AS ok_stopwords,
+                   ((nw >= 20 AND nw <= 100000)
+                    AND (length(text) * 1.0 / nw >= 3.0 AND length(text) * 1.0 / nw <= 10.0)
+                    AND (aw * 1.0 / nw >= 0.8)
+                    AND (sh >= 2)) AS keep
+            FROM (
+              SELECT doc_id, text,
+                     len(string_split(text, ' ')) AS nw,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> regexp_matches(w, '[a-zA-Z]'))) AS aw,
+                     cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS bigint)
+                     + cast((length(p) - length(replace(p, ' and ', ''))) / 5 AS bigint)
+                     + cast((length(p) - length(replace(p, ' of ', ''))) / 4 AS bigint)
+                     + cast((length(p) - length(replace(p, ' to ', ''))) / 4 AS bigint)
+                     + cast((length(p) - length(replace(p, ' in ', ''))) / 4 AS bigint) AS sh
+              FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents)
+            )
         """,
         "lang_id": _lang_id_sql(),
         "quality_score": """

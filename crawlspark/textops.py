@@ -29,7 +29,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -500,6 +500,74 @@ def ann_lsh_topk(
     return _rank_topk(scored, k)
 
 
+def ann_knn_join_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact batch k-NN join: top-k cosine neighbors in ``corpus`` for EVERY
+    query vector — the all-queries generalization of ann_bruteforce_topk.
+
+    The query set is a broadcast dim (a retrieval batch is small relative to
+    a 10^10-vector corpus); scoring is one corpus scan; ranking is a window
+    PARTITIONED by query id (per-partition rows = corpus candidates for one
+    query — never a global single-partition window)."""
+    q = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec"))
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine_expr(F.col("embedding"), F.col("qvec")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank")
+    )
+
+
+def ann_knn_join_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Scale-path batch k-NN join: corpus sketched ONCE (the sketch is the
+    corpus partition key at 10^10 vectors), each query probes its own bucket
+    plus hamming<=r neighbors; exact cosine re-scoring + per-query window
+    rank inside the probed buckets only. Same recall contract as
+    ann_lsh_topk: exact on high-cosine (near-duplicate) neighbor structure
+    (pinned by test_ann_knn_join_lsh_recall), approximate on isotropic
+    corpora."""
+    from itertools import combinations
+
+    sk_c = corpus.withColumn("sketch", sign_sketch_expr(F.col("embedding"), planes))
+    sk_q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qvec"),
+        sign_sketch_expr(F.col("embedding"), planes).alias("qsketch"),
+    )
+    masks = [
+        sum(1 << p for p in bits)
+        for r in range(probe_hamming + 1)
+        for bits in combinations(range(planes), r)
+    ]
+    probes = sk_q.select(
+        "q_id",
+        "qvec",
+        F.explode(
+            F.array(*[F.col("qsketch").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
+        ).alias("sketch"),
+    )
+    cand = sk_c.join(F.broadcast(probes), "sketch").filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", "vec_id", cosine_expr(F.col("embedding"), F.col("qvec")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -594,6 +662,54 @@ def quality_score(documents: DataFrame) -> DataFrame:
         F.round(F.length("text") / n_words, 6).alias("mean_word_len"),
         stop_hits.alias("stopword_hits"),
         F.round(stop_hits / n_words, 6).alias("stopword_ratio"),
+    )
+
+
+def gopher_quality_rules(
+    documents: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gates (public rule family: Rae et al.
+    2021, "Scaling Language Models" §A1.1): word-count bounds, mean-word-
+    length bounds, alphabetic-word ratio, minimum stopword evidence. Pure
+    Catalyst — whole-stage codegen, no Python — and every feature is exact
+    integer/ratio arithmetic so the DuckDB oracle matches bit-for-bit.
+
+    Output: per-doc rule features + the per-rule booleans + the final
+    ``keep`` conjunction (the pipeline filter is ``.filter("keep")``, kept
+    separate here so rejected docs stay inspectable — the reference's
+    quarantine pattern, S24)."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    mean_wl = F.length("text") / n_words
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("long")
+    alpha_ratio = alpha_words / n_words
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    stop_hits = sum(
+        (_count_occurrences(padded, f" {w} ") for w in ["and", "of", "to", "in"]),
+        _count_occurrences(padded, " the "),
+    )
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_alpha = alpha_ratio >= min_alpha_word_ratio
+    ok_stop = stop_hits >= min_stopword_hits
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        alpha_words.alias("alpha_words"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mwl & ok_alpha & ok_stop).alias("keep"),
     )
 
 

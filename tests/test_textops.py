@@ -142,6 +142,67 @@ def test_embedding_near_dup(spark):
     assert pairs == {(1, 2)}
 
 
+def test_ann_knn_join_matches_per_query(spark):
+    """Batch k-NN join == per-query brute-force top-k, query by query."""
+    from crawlspark.textops import ann_knn_join_bruteforce
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {}
+    for r in ann_knn_join_bruteforce(df, df.filter(F.col("vec_id") < 3), k=4).collect():
+        got.setdefault(r["q_id"], {})[r["rank"]] = r["vec_id"]
+    for qid in range(3):
+        per_query = sorted(
+            ann_bruteforce_topk(df, query_vec_id=qid, k=4).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [r["vec_id"] for r in per_query] == [got[qid][k] for k in sorted(got[qid])]
+
+
+def test_ann_knn_join_lsh_recall(spark):
+    """LSH-bucketed batch k-NN join recovers the exact top-k on planted
+    high-cosine neighbor structure (the LSH retrieval contract)."""
+    import random
+
+    from crawlspark.textops import ann_knn_join_bruteforce, ann_knn_join_lsh
+
+    rng = random.Random(11)
+    dims = 16
+    rows = []
+    vid = 0
+    for cl in range(4):  # 4 clusters x 6 near-copies
+        base = [rng.uniform(-1, 1) for _ in range(dims)]
+        for _ in range(6):
+            rows.append((vid, [x + rng.uniform(-0.005, 0.005) for x in base]))
+            vid += 1
+    for _ in range(120):  # background
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(dims)]))
+        vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id").isin(0, 6, 12, 18))  # one per cluster
+    exact = {(r["q_id"], r["vec_id"]) for r in ann_knn_join_bruteforce(df, queries, k=5).collect()}
+    lsh = {(r["q_id"], r["vec_id"]) for r in
+           ann_knn_join_lsh(df, queries, k=5, planes=6, probe_hamming=1).collect()}
+    recall = len(lsh & exact) / len(exact)
+    assert recall == 1.0, f"recall {recall}"
+
+
+def test_gopher_quality_rules(spark):
+    from crawlspark.textops import gopher_quality_rules
+
+    rows = [
+        (1, " ".join(["the quick brown fox jumps over the lazy dog and runs to the hills in peace"] * 3)),
+        (2, "short text"),                                   # too few words
+        (3, " ".join(["1234 5678 9999"] * 20)),              # no alpha words, no stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_quality_rules(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["ok_word_count"] is False
+    assert out[3]["keep"] is False and out[3]["ok_alpha_ratio"] is False
+    assert out[1]["alpha_word_ratio"] == 1.0
+
+
 def test_lang_id(docs):
     preds = {r["doc_id"]: r["lang_pred"] for r in lang_id_heuristic(docs).collect()}
     assert preds[1] == "en"
