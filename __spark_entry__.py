@@ -450,6 +450,13 @@ def q_fingerprint(spark, sf):
     return fingerprint(_t(spark, sf, "documents")).select("doc_id", "md5_fp")
 
 
+def q_fingerprint_winnow(spark, sf):
+    # winnowing fingerprints (sub-document near-dup evidence; Schleimer 2003)
+    from crawlspark.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf, "documents"))
+
+
 def q_multimodal_image(spark, sf):
     from crawlspark.multimodal import decode_image_features, documents_as_binary
 
@@ -514,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "fingerprint_winnow": q_fingerprint_winnow,
         "multimodal_image": q_multimodal_image,
         "multimodal_png": q_multimodal_png,
         "multimodal_frames": q_multimodal_frames,
@@ -798,6 +806,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_neardup": f"""
             SELECT a, b FROM read_parquet('{_FIXTURES}/embed_neardup.parquet')
+        """,
+        "fingerprint_winnow": f"""
+            SELECT doc_id, fp FROM read_parquet('{_FIXTURES}/fingerprint_winnow.parquet')
         """,
         # the multimodal stub decoder is a deterministic function of the
         # payload BYTE LENGTH only (no byte/encoding assumptions)

@@ -731,3 +731,32 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         F.md5("text").alias("md5_fp"),
         F.xxhash64("text").alias("xx_fp"),
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame, shingle_n: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (public algorithm: Schleimer,
+    Wilkerson, Aiken, SIGMOD 2003): hash every positional word ``shingle_n``-
+    gram, slide a ``window`` over the hash sequence, keep each window's
+    minimum — the distinct minima are the document's fingerprint set, the
+    standard local-similarity sketch (plagiarism/near-dup evidence at
+    sub-document granularity, where whole-doc hashes see nothing).
+
+    Pure Catalyst: one expression per doc (positional shingles → xxhash64 →
+    per-window array_min → array_distinct), exploded to (doc_id, fp) rows.
+    Guarantee (winnowing's own): any shared run of ``window + shingle_n - 1``
+    words between two docs yields at least one shared fingerprint. Oracle:
+    independent pure-Python mirror (tools/make_fixtures.py)."""
+    sh = shingles_expr(F.col("text"), shingle_n)  # positional — NOT deduped
+    hs = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def windows(h):
+        nwin = F.greatest(F.size(h) - (window - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda i: F.array_min(F.slice(h, i + 1, window)),
+        )
+
+    fps = F.array_distinct(_bind_once(hs, windows))
+    return documents.select("doc_id", F.explode(fps).alias("fp"))

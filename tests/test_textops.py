@@ -187,6 +187,36 @@ def test_ann_knn_join_lsh_recall(spark):
     assert recall == 1.0, f"recall {recall}"
 
 
+def test_winnow_fingerprints(spark):
+    """Winnowing guarantee: docs sharing a run of >= window+n-1 words share
+    at least one fingerprint; disjoint texts share none. Values pinned by an
+    in-test pure-Python mirror."""
+    from crawlspark.canonical import xxhash64_py
+    from crawlspark.textops import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "one two three " + shared + " four five six"),
+        (2, shared + " nine ten eleven twelve thirteen"),
+        (3, "totally different words with no overlap at all whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    def mirror(text, n=3, w=4):
+        words = text.split(" ")
+        sh = [" ".join(words[i : i + n]) for i in range(max(len(words) - n + 1, 1))]
+        hs = [xxhash64_py(s) for s in sh]
+        return {min(hs[i : i + w]) for i in range(max(len(hs) - w + 1, 1))}
+
+    for doc_id, text in rows:
+        assert got[doc_id] == mirror(text), doc_id
+    assert got[1] & got[2]           # shared 8-word run -> shared fingerprint
+    assert not (got[1] & got[3])     # disjoint texts -> disjoint fingerprints
+
+
 def test_gopher_quality_rules(spark):
     from crawlspark.textops import gopher_quality_rules
 

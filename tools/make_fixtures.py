@@ -141,6 +141,33 @@ def minhash_sig(text: str, num: int = 16) -> list[int]:
     return mins
 
 
+def shingle_list(text: str, n: int = 3) -> list[str]:
+    """Positional (non-deduplicated) word n-grams."""
+    words = text.split(" ")
+    k = len(words) - (n - 1)
+    return [" ".join(words[i : i + n]) for i in range(k)] if k >= 1 else [" ".join(words)]
+
+
+def winnow_fixture(docs) -> pa.Table:
+    """Mirror of textops.winnow_fingerprints (Schleimer et al. 2003):
+    xxhash64 over positional 3-gram shingles, window-4 minima, distinct."""
+    n, w = 3, 4
+    ids, fps = [], []
+    for doc_id, text in docs:
+        hs = [xxhash64_py(s) for s in shingle_list(text, n)]
+        nwin = max(len(hs) - (w - 1), 1)
+        seen = set()
+        for i in range(nwin):
+            m = min(hs[i : i + w])
+            if m not in seen:
+                seen.add(m)
+                ids.append(doc_id)
+                fps.append(m)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "fp": pa.array(fps, pa.int64())}
+    )
+
+
 def docs_with_dups(docs, mod=25, offset=1000000):
     return docs + [(d + offset, t) for d, t in docs if d % mod == 0]
 
@@ -308,6 +335,7 @@ def main() -> None:
         "dedup_simhash": simhash_fixture(docs),
         "ann_lsh": ann_lsh_fixture(embs),
         "embed_neardup": embed_neardup_fixture(embs),
+        "fingerprint_winnow": winnow_fixture(docs),
     }
     for name, tbl in tables.items():
         pq.write_table(tbl, OUT / f"{name}.parquet")
