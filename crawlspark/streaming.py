@@ -15,6 +15,10 @@ is Spark's own (offsets) plus the engine warehouse commit per batch.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -72,6 +76,68 @@ def discovered_urls_stream(
 
     return (
         stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+HOST_STATE_SCHEMA = (
+    "host string, batch_rows long, cumulative_rows long, cumulative_priority long"
+)
+
+
+def host_crawl_state_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    per-host crawl-pressure counters maintained across micro-batches AND
+    stream restarts (state lives in the Spark checkpoint).
+
+    Each micro-batch emits one row per host touched: rows in this batch plus
+    the running totals. Scale shape: state is a fixed-width counter tuple per
+    host, hash-partitioned by host by the stateful exchange — the canonical
+    Spark stateful design (no unbounded collections in state; the seen-set
+    itself stays in the warehouse, not in stream state).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = frontier_stream(spark, input_dir)
+    b = enrich(stream).select("chost", "priority")
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        rows = 0
+        pri = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            if len(pdf):
+                pri += int(pdf["priority"].sum())
+        cum, cum_pri = state.get if state.exists else (0, 0)
+        cum += rows
+        cum_pri += pri
+        state.update((cum, cum_pri))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "batch_rows": [rows],
+                "cumulative_rows": [cum],
+                "cumulative_priority": [cum_pri],
+            }
+        )
+
+    out = b.groupBy("chost").applyInPandasWithState(
+        update,
+        HOST_STATE_SCHEMA,
+        "cum long, cum_pri long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

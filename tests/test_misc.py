@@ -99,6 +99,52 @@ def test_streaming_discovery(spark, tmp_path):
     assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
 
 
+def test_stateful_host_stream(spark, tmp_path):
+    """applyInPandasWithState: per-host counters accumulate across
+    micro-batches AND across a stream restart (state from the checkpoint)."""
+    import time
+
+    from crawlspark import schemas, synth
+    from crawlspark.streaming import host_crawl_state_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = synth.frontier_rows(40, 5)
+    cut = len(rows) * 2 // 3  # uneven halves so the two batches differ
+    spark.createDataFrame(rows[:cut], schemas.FRONTIER).write.parquet(str(in_dir / "d1"))
+
+    q = host_crawl_state_stream(spark, str(in_dir / "*"), out_dir, ckpt)
+    q.awaitTermination(120)
+    time.sleep(0.5)
+    first = spark.read.parquet(out_dir).collect()
+    assert sum(r["batch_rows"] for r in first) == cut
+    assert all(r["batch_rows"] == r["cumulative_rows"] for r in first)
+
+    # second drop + RESTARTED stream, same checkpoint: cumulative continues
+    spark.createDataFrame(rows[cut:], schemas.FRONTIER).write.parquet(str(in_dir / "d2"))
+    q2 = host_crawl_state_stream(spark, str(in_dir / "*"), out_dir, ckpt)
+    q2.awaitTermination(120)
+    time.sleep(0.5)
+    all_rows = spark.read.parquet(out_dir).collect()
+    assert sum(r["batch_rows"] for r in all_rows) == len(rows)
+    # per host: the max cumulative equals the total rows ever seen for it
+    from pyspark.sql import functions as F
+
+    from crawlspark.scheduler import enrich
+
+    enr = enrich(spark.createDataFrame(rows, schemas.FRONTIER))
+    per_host = {
+        r["chost"]: r["cnt"]
+        for r in enr.groupBy("chost").agg(F.count("*").alias("cnt")).collect()
+    }
+    got = {}
+    for r in all_rows:
+        got[r["host"]] = max(got.get(r["host"], 0), r["cumulative_rows"])
+    assert got == per_host
+
+
 def test_stream_epoch_stable_across_restarts(tmp_path):
     """The redelivery hole ADVICE flagged: a batch committed to the warehouse
     but not yet in Spark's checkpoint is redelivered with the SAME batch_id
