@@ -370,6 +370,21 @@ def q_dedup_simhash(spark, sf):
     return simhash_near_pairs(d.unionByName(dups), max_hamming=3).orderBy("a", "b")
 
 
+def q_dedup_clusters(spark, sf):
+    # connected components (iterative min-label propagation) over a chain
+    # graph derived from doc_ids: chains i→i+1→i+2→i+3 for i%10==0 — the
+    # closed form (cluster = node - node%10) gives an exact SQL oracle for
+    # an iterative algorithm; transitivity over REAL minhash pairs is pinned
+    # in tests/test_textops.py
+    from crawlspark.textops import dedup_clusters
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    edges = d.filter(F.col("doc_id") % 10 < 3).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+    )
+    return dedup_clusters(edges).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark, sf):
     # word-set jaccard of consecutive doc pairs (SQL-expressible)
     d = _t(spark, sf, "documents").select("doc_id", "text")
@@ -511,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -696,6 +712,16 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY md5(text) HAVING count(*) > 1
             ORDER BY keep_doc_id
+        """,
+        "dedup_clusters": """
+            SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keeper FROM (
+              SELECT DISTINCT node AS doc_id, node - (node % 10) AS cluster_id
+              FROM (
+                SELECT doc_id AS node FROM documents WHERE doc_id % 10 < 3
+                UNION
+                SELECT doc_id + 1 FROM documents WHERE doc_id % 10 < 3
+              )
+            )
         """,
         "ngram_jaccard": """
             SELECT a.doc_id AS a_id,

@@ -269,6 +269,73 @@ def bucket_pairs(
     return small_pairs.unionByName(big_pairs).dropDuplicates(["a", "b"])
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs → (node, cluster_id,
+    is_keeper): the step that turns pairwise dup evidence into the keep/drop
+    decision a dedup pipeline actually executes (cluster_id = min doc_id in
+    the component; that doc is the keeper).
+
+    Iterative min-label propagation (the standard distributed CC shape:
+    per round one keyed join + min-aggregation over the symmetric edge set,
+    all map-side-combinable), driver-looped to a fixpoint — rounds needed =
+    graph diameter, which for near-dup clusters is tiny (they are dense
+    clique-ish blobs, not paths). Each round's labels are persisted and the
+    previous round unpersisted; the fixpoint check rides the same action that
+    materializes the round (one job per round). Diameter-proof variants
+    (large-star/small-star, Kiveris et al. 2014) drop in here if a corpus
+    ever produces chain-shaped components; the exchange shape is the same.
+    """
+    edges = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    edges = edges.unionByName(
+        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).persist()
+    # localCheckpoint (not persist) per round: each round's plan references
+    # the previous round's labels in TWO places, so an uncut lineage doubles
+    # every iteration — ~10 rounds OOM the driver on plan analysis alone.
+    # Checkpointing truncates the lineage to the materialized partitions,
+    # the standard Spark idiom for iterative algorithms.
+    labels = (
+        edges.select(F.col("x").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("y"), F.col("label").alias("ylab")),
+                "y",
+            )
+            .groupBy("x")
+            .agg(F.min("ylab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["x"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlab"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            # lazy: the fixpoint count below materializes it (1 job/round)
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
 def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document, fully JVM-side: token explode → per-bit
     vote sums → bit reassembly."""

@@ -75,6 +75,29 @@ def test_bucket_pairs_big_bucket_same_output(spark):
     assert all(a < b for a, b in hybrid)
 
 
+def test_dedup_clusters_transitive(spark, docs):
+    """CC over real minhash pairs: docs 1,2 (identical) and 3 (near-dup of 1)
+    form ONE cluster with keeper 1, even where the pair (2,3) alone wouldn't
+    imply it without transitivity."""
+    from crawlspark.textops import dedup_clusters
+
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    out = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert out[1]["cluster_id"] == 1 and out[1]["is_keeper"] is True
+    assert out[2]["cluster_id"] == 1 and out[2]["is_keeper"] is False
+    if 3 in out:  # LSH found the near-dup pair
+        assert out[3]["cluster_id"] == 1
+
+
+def test_dedup_clusters_chain(spark):
+    """Long chain forces multiple propagation rounds to the fixpoint."""
+    from crawlspark.textops import dedup_clusters
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(10)], ["a", "b"])
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(edges).collect()}
+    assert out == {i: 0 for i in range(11)}
+
+
 def test_simhash_identical_and_near(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sh[1] == sh[2]
