@@ -170,6 +170,21 @@ def main() -> None:
           ("no broadcast of the bitmap table", "BroadcastExchange" not in p)])
     )
 
+    # 12. batch k-NN join: per-query window (never a global single-partition
+    #     window), query set broadcast (a true small dim)
+    from crawlspark.textops import ann_knn_join_bruteforce
+
+    q = ann_knn_join_bruteforce(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    p = fmt(q)
+    sections.append(
+        ("Batch k-NN join: per-query window, broadcast query dim", p,
+         [("window partitioned by q_id (no global window)",
+           "windowspecdefinition(q_id" in p),
+          ("WindowGroupLimit pushes the rank<=k limit below the sort",
+           "WindowGroupLimit" in p),
+          ("query set broadcast", "BroadcastExchange" in p or "BroadcastNestedLoop" in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
