@@ -498,6 +498,17 @@ def q_multimodal_frames(spark, sf):
     return frame_sample(d)
 
 
+def q_multimodal_gif(spark, sf):
+    # REAL frame-splitter branch: deterministic animated-GIF payloads
+    # (pure-stdlib GIF89a encoder, executor-side) walked by the pure-stdlib
+    # container parser — the oracle checks per-frame byte spans, dimensions
+    # and the sampling stride as closed forms of doc_id
+    from crawlspark.multimodal import frame_sample, synth_gif_payloads
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return frame_sample(synth_gif_payloads(d))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s01_filter_pushdown": q_s01_filter_pushdown,
@@ -541,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image": q_multimodal_image,
         "multimodal_png": q_multimodal_png,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_gif": q_multimodal_gif,
     }
 
 
@@ -858,12 +870,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_frames": """
             SELECT doc_id, CAST(fi AS int) AS frame_index,
-                   CAST(least(16, n - fi * 16) AS bigint) AS frame_bytes
+                   CAST(least(16, n - fi * 16) AS bigint) AS frame_bytes,
+                   CAST(NULL AS int) AS width, CAST(NULL AS int) AS height,
+                   'stub' AS splitter
             FROM (
               SELECT doc_id, octet_length(encode(text)) AS n,
                      unnest(generate_series(
                        0, greatest(octet_length(encode(text)) // 16, 1) - 1, 2)) AS fi
               FROM documents WHERE doc_id < 50
+            )
+        """,
+        # real-GIF roundtrip: per-frame byte span = descriptor(10) + min-code
+        # byte(1) + LZW payload L + sub-block framing (ceil(L/255) length
+        # bytes + terminator), with L = npix + (npix-1)//110 clears + clear +
+        # end — all closed forms of the encode parameters (see
+        # crawlspark/multimodal.py gif_encode_frames / _gif_lzw_uncompressed)
+        "multimodal_gif": """
+            SELECT doc_id, CAST(fi AS int) AS frame_index,
+                   CAST(12 + L + (L + 254) // 255 AS bigint) AS frame_bytes,
+                   CAST(w AS int) AS width, CAST(h AS int) AS height,
+                   'real-gif' AS splitter
+            FROM (
+              SELECT doc_id, w, h,
+                     w * h + (w * h - 1) // 110 + 2 AS L,
+                     unnest(generate_series(0, doc_id % 5, 2)) AS fi
+              FROM (
+                SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id // 16) % 16 AS h
+                FROM documents WHERE doc_id < 200
+              )
             )
         """,
     }

@@ -43,9 +43,32 @@ IMAGE_META = StructType(
         StructField("mode", StringType()),
         StructField("n_bytes", LongType()),
         StructField("features", ArrayType(FloatType())),
-        StructField("decoder", StringType()),  # 'real' | 'stub'
+        StructField("decoder", StringType()),  # 'real' | 'real-png' | 'stub'
     ]
 )
+
+# magic-byte signatures of the media containers the layered decoder can even
+# attempt; anything else jumps straight to the stub (the exception-driven
+# PIL/PNG attempt per TEXT payload was the battery's multimodal_image
+# regression — a slice compare is free, a raised ValueError is not)
+_JPEG_SIG = b"\xff\xd8\xff"
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _sniff_media(blob: bytes) -> str | None:
+    """'png' | 'jpeg' | 'gif' | 'webp' | 'bmp' from the leading magic bytes,
+    None for non-media payloads."""
+    if blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if blob.startswith(_JPEG_SIG):
+        return "jpeg"
+    if blob[:6] in _GIF_SIGS:
+        return "gif"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        return "webp"
+    if blob[:2] == b"BM":
+        return "bmp"
+    return None
 
 
 def _stub_features(blob: bytes, dim: int = 8) -> list[float]:
@@ -164,9 +187,14 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload", dim: int 
 
     Per-row layered decode — each layer falls through on failure, so one
     corrupt payload can never fail the task:
-      1. PIL, when importable (decoder='real'),
-      2. the pure-stdlib PNG codec (decoder='real-png') — a genuinely real
-         decode branch exercised in this container,
+      0. magic-byte sniff: payloads with no media signature jump straight to
+         the stub, never paying an exception-driven decode attempt,
+      1. PNG-sniffed payloads: the pure-stdlib PNG codec (decoder='real-png')
+         — a genuinely real decode branch exercised in this container; the
+         stdlib codec runs BEFORE PIL so decoder labels are identical whether
+         or not PIL happens to be importable in the environment,
+      2. other media signatures (JPEG/GIF/WebP/BMP) or PNG variants the
+         stdlib codec rejects: PIL when importable (decoder='real'),
       3. the deterministic stub (decoder='stub'), defined ONLY on the payload
          length (1 + n%64 wide, 1 + (n//64)%64 tall), so its oracle needs no
          byte/encoding assumptions.
@@ -189,20 +217,22 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload", dim: int 
             pil_decode = None
 
         def decode(blob: bytes):
-            if pil_decode is not None:
+            kind = _sniff_media(blob)
+            if kind == "png":
+                try:
+                    w, h, ch, pix = png_decode(blob)
+                    gray = np.frombuffer(pix, dtype=np.uint8).reshape(h, w * ch)
+                    if ch > 1:  # mean over color channels → grayscale
+                        gray = gray.reshape(h, w, ch)[:, :, :3].mean(axis=2)
+                    mode = {1: "L", 3: "RGB", 4: "RGBA"}[ch]
+                    return w, h, mode, _gray_features(np.asarray(gray, dtype=np.float64), dim), "real-png"
+                except Exception:  # noqa: BLE001 - unsupported PNG variant → PIL/stub
+                    pass
+            if kind is not None and pil_decode is not None:
                 try:
                     return pil_decode(blob)
                 except Exception:  # noqa: BLE001 - any decode failure falls through
                     pass
-            try:
-                w, h, ch, pix = png_decode(blob)
-                gray = np.frombuffer(pix, dtype=np.uint8).reshape(h, w * ch)
-                if ch > 1:  # mean over color channels → grayscale
-                    gray = gray.reshape(h, w, ch)[:, :, :3].mean(axis=2)
-                mode = {1: "L", 3: "RGB", 4: "RGBA"}[ch]
-                return w, h, mode, _gray_features(np.asarray(gray, dtype=np.float64), dim), "real-png"
-            except Exception:  # noqa: BLE001 - not a PNG → stub
-                pass
             n = len(blob)
             return 1 + n % 64, 1 + (n // 64) % 64, "STUB", _stub_features(blob, dim), "stub"
 
@@ -240,30 +270,181 @@ def synth_png_payloads(documents: DataFrame, limit_px: int = 64) -> DataFrame:
     return documents.select("doc_id").mapInPandas(run, schema="doc_id long, payload binary")
 
 
+# ---------------------------------------------------------------------------
+# pure-stdlib animated-GIF container codec (public spec: GIF89a, W3C/CompuServe)
+# ---------------------------------------------------------------------------
+
+
+def gif_frames(blob: bytes) -> list[tuple[int, int, int, int, int]]:
+    """Walk a GIF container and return one (frame_index, byte_offset,
+    byte_length, width, height) tuple per image frame — a REAL frame split
+    (no LZW pixel decode needed: frame boundaries, dimensions and delays are
+    all container-level structures). Raises ValueError on a malformed stream;
+    callers treat that as "not a GIF" and fall back to the stub splitter.
+
+    byte_length spans the frame's image descriptor through its sub-block
+    terminator (incl. any local color table), i.e. the bytes a downstream
+    per-frame decoder would consume.
+    """
+    if blob[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF")
+    if len(blob) < 13:
+        raise ValueError("truncated GIF header")
+    packed = blob[10]
+    pos = 13
+    if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (packed & 0x07))
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(blob):
+                raise ValueError("unterminated sub-blocks")
+            ln = blob[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+
+    frames: list[tuple[int, int, int, int, int]] = []
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:  # image descriptor
+            start = pos
+            if pos + 10 > len(blob):
+                raise ValueError("truncated image descriptor")
+            w = int.from_bytes(blob[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(blob[pos + 7 : pos + 9], "little")
+            ipacked = blob[pos + 9]
+            pos += 10
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            frames.append((len(frames), start, pos - start, w, h))
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF with no frames")
+    return frames
+
+
+def _gif_lzw_uncompressed(pixels: bytes, min_code: int = 7) -> bytes:
+    """LZW image data via the public 'uncompressed GIF' construction: with
+    min-code-size 7 every code is exactly 8 bits, and a CLEAR code emitted at
+    least every 110 literals keeps the decoder's table below the 9-bit
+    threshold — standard-conformant output any GIF reader decodes."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray([clear])
+    for i, p in enumerate(pixels):
+        if i and i % 110 == 0:
+            out.append(clear)
+        out.append(p & 0x7F)
+    out.append(end)
+    return bytes(out)
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def gif_encode_frames(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Minimal animated GIF89a encoder (128-entry grayscale palette,
+    uncompressed-style LZW): ``frames`` are row-major 7-bit pixel buffers of
+    len == width*height. Deterministic; used to synthesize real multi-frame
+    containers for the splitter's roundtrip oracle."""
+    assert all(len(f) == width * height for f in frames)
+    # logical screen descriptor: GCT flag set, 2^(6+1)=128 entries
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x06, 0, 0)
+    out += bytes(v for i in range(128) for v in (i * 2, i * 2, i * 2))  # gray GCT
+    for px in frames:
+        # graphic control extension (per-frame delay: marks this as animated)
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([7]) + _gif_subblocks(_gif_lzw_uncompressed(px))
+    out += b"\x3b"
+    return bytes(out)
+
+
+FRAME_META = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("splitter", StringType()),  # 'real-gif' | 'stub'
+    ]
+)
+
+
 def frame_sample(df: DataFrame, payload_col: str = "payload", every_n: int = 2) -> DataFrame:
-    """Video frame-sampling plumbing: one row per sampled 'frame'. The frame
-    splitter is the stub (fixed 4-'frame' chunking of the payload); a real
-    deployment swaps in pyav/ffmpeg inside the same mapInPandas."""
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("frame_index", IntegerType()),
-            StructField("frame_bytes", LongType()),
-        ]
-    )
+    """Video/animation frame sampling: one row per sampled frame.
+
+    Layered like the image decoder: GIF-sniffed payloads take the REAL
+    container walk (gif_frames — frame boundaries, byte spans and dimensions
+    from the GIF structure itself, splitter='real-gif'); anything else falls
+    back to the fixed-16-byte-chunk stub (splitter='stub', width/height
+    null). A real deployment adds pyav/ffmpeg for MP4/WebM inside the same
+    mapInPandas; the Spark-side plumbing (schema, Arrow batching, sampling
+    stride) is identical."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[payload_col]):
                 b = bytes(blob) if blob is not None else b""
+                if b[:6] in _GIF_SIGS:
+                    try:
+                        for fi, _off, ln, w, h in gif_frames(b)[::every_n]:
+                            out.append(dict(doc_id=int(doc_id), frame_index=fi,
+                                            frame_bytes=ln, width=w, height=h,
+                                            splitter="real-gif"))
+                        continue
+                    except ValueError:
+                        pass  # malformed GIF → stub splitter
                 n_frames = max(1, len(b) // 16)
                 for fi in range(0, n_frames, every_n):
                     chunk = b[fi * 16: (fi + 1) * 16]
-                    out.append(dict(doc_id=int(doc_id), frame_index=fi, frame_bytes=len(chunk)))
-            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+                    out.append(dict(doc_id=int(doc_id), frame_index=fi,
+                                    frame_bytes=len(chunk), width=None,
+                                    height=None, splitter="stub"))
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_META.fields])
 
-    return df.select("doc_id", payload_col).mapInPandas(run, schema=schema)
+    return df.select("doc_id", payload_col).mapInPandas(run, schema=FRAME_META)
+
+
+def synth_gif_payloads(documents: DataFrame, limit_px: int = 16) -> DataFrame:
+    """Deterministic real animated-GIF payload per doc: dimensions and frame
+    count derived from doc_id, pixels a per-frame gradient — the roundtrip
+    corpus for the real frame splitter. Executor-side (mapInPandas), like
+    synth_png_payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                w = 1 + int(i) % limit_px
+                h = 1 + (int(i) // limit_px) % limit_px
+                nf = 1 + int(i) % 5
+                frames = [
+                    bytes(((int(i) + f * 7 + x + y * w) % 128) for y in range(h) for x in range(w))
+                    for f in range(nf)
+                ]
+                payloads.append(gif_encode_frames(w, h, frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(run, schema="doc_id long, payload binary")
 
 
 def documents_as_binary(documents: DataFrame) -> DataFrame:

@@ -369,6 +369,54 @@ def test_multimodal_stub_plumbing(spark):
     assert sorted(map(tuple, meta)) == sorted(map(tuple, meta2))
     frames = frame_sample(b).collect()
     assert {r["doc_id"] for r in frames} == {1, 2}
+    assert all(r["splitter"] == "stub" and r["width"] is None for r in frames)
+
+
+def test_gif_codec_roundtrip():
+    """Pure-stdlib GIF container codec: encode N frames → the splitter finds
+    exactly N frames with the encoded dimensions and contiguous byte spans."""
+    from crawlspark.multimodal import gif_encode_frames, gif_frames
+
+    w, h = 5, 3
+    frames = [bytes(((f * 7 + i) % 128) for i in range(w * h)) for f in range(4)]
+    blob = gif_encode_frames(w, h, frames)
+    got = gif_frames(blob)
+    assert [g[0] for g in got] == [0, 1, 2, 3]
+    assert all((fw, fh) == (w, h) for _, _, _, fw, fh in got)
+    # spans are contiguous: each frame starts at its descriptor byte 0x2C
+    for _, off, ln, _, _ in got:
+        assert blob[off] == 0x2C and off + ln <= len(blob)
+    import pytest
+
+    with pytest.raises(ValueError):
+        gif_frames(b"not a gif")
+    with pytest.raises(ValueError):
+        gif_frames(b"GIF89a" + b"\x00" * 4)  # truncated header
+
+
+def test_multimodal_gif_real_splitter(spark):
+    """frame_sample takes the real-gif branch on GIF payloads (per-frame
+    dims + sampling stride) and the stub on garbage — per row, same batch."""
+    from crawlspark.multimodal import frame_sample, gif_encode_frames, synth_gif_payloads
+
+    blob = gif_encode_frames(4, 2, [bytes(8)] * 5)
+    rows = [(1, bytearray(blob)), (2, bytearray(b"plain text payload here"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = frame_sample(df, every_n=2).collect()
+    g1 = sorted((r for r in got if r["doc_id"] == 1), key=lambda r: r["frame_index"])
+    assert [r["frame_index"] for r in g1] == [0, 2, 4]  # 5 frames sampled by 2
+    assert all(r["splitter"] == "real-gif" and (r["width"], r["height"]) == (4, 2) for r in g1)
+    g2 = [r for r in got if r["doc_id"] == 2]
+    assert all(r["splitter"] == "stub" for r in g2)
+
+    # battery shape: synthesized corpus roundtrip, frame count = 1 + id%5
+    d = spark.createDataFrame([(i,) for i in (0, 3, 17, 44)], "doc_id long")
+    per = {}
+    for r in frame_sample(synth_gif_payloads(d), every_n=1).collect():
+        assert r["splitter"] == "real-gif"
+        assert r["width"] == 1 + r["doc_id"] % 16
+        per[r["doc_id"]] = per.get(r["doc_id"], 0) + 1
+    assert per == {i: 1 + i % 5 for i in (0, 3, 17, 44)}
 
 
 def test_embed_neardup_recall_vs_bruteforce(spark):
