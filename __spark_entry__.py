@@ -472,6 +472,34 @@ def q_fingerprint_winnow(spark, sf):
     return winnow_fingerprints(_t(spark, sf, "documents"))
 
 
+def q_pipeline_curate(spark, sf):
+    # FLAGSHIP COMPOSED PIPELINE: the actual LLM-curation chain, one plan —
+    # gopher quality gates → MinHash-LSH near-dup pairs → connected-components
+    # keepers → token counts on the surviving corpus. Each stage has its own
+    # battery entry; this row proves they compose without stage-boundary plan
+    # regressions (gated corpus persisted once, consumed by the signature
+    # pass AND the survivor anti-join — no recomputed scans; PLANS.md §pipeline)
+    from crawlspark.textops import (
+        dedup_clusters,
+        gopher_quality_rules,
+        minhash_lsh_pairs,
+        token_count,
+    )
+
+    d = _t(spark, sf, "documents")
+    dups = d.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = d.unionByName(dups).select("doc_id", "text")
+    gated = corpus.join(
+        gopher_quality_rules(corpus).filter("keep").select("doc_id"), "doc_id"
+    ).persist()
+    pairs = minhash_lsh_pairs(gated, jaccard_threshold=0.8)
+    losers = dedup_clusters(pairs).filter(~F.col("is_keeper")).select("doc_id")
+    survivors = gated.join(losers, "doc_id", "left_anti")
+    return token_count(survivors)
+
+
 def q_multimodal_image(spark, sf):
     from crawlspark.multimodal import decode_image_features, documents_as_binary
 
@@ -543,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embed_neardup": q_embed_neardup,
         "ann_knn_join": q_ann_knn_join,
+        "pipeline_curate": q_pipeline_curate,
         "gopher_quality": q_gopher_quality,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -847,6 +876,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_winnow": f"""
             SELECT doc_id, fp FROM read_parquet('{_FIXTURES}/fingerprint_winnow.parquet')
+        """,
+        # the composed curation chain is mirrored END-TO-END in pure Python
+        # (tools/make_fixtures.py pipeline_curate_fixture: gopher gates →
+        # minhash pairs → union-find CC → survivors → token counts)
+        "pipeline_curate": f"""
+            SELECT doc_id, ws_tokens, bpe_est_tokens
+            FROM read_parquet('{_FIXTURES}/pipeline_curate.parquet')
         """,
         # the multimodal stub decoder is a deterministic function of the
         # payload BYTE LENGTH only (no byte/encoding assumptions)

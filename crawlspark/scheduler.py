@@ -77,7 +77,9 @@ from .extract import extract_pages, split_dataset_units
 from .fields import AbcdFields
 from .seen import (
     PartitionedBloom,
+    PartitionedCuckoo,
     distributed_bloom_update,
+    distributed_cuckoo_update,
     rank_and_key,
     split_new_vs_seen,
 )
@@ -191,39 +193,68 @@ class Crawler:
         return self.wh.read_state(self.spark, name)
 
     # ------------------------------------------------------------------
-    def _new_bloom(self) -> PartitionedBloom:
+    @property
+    def _filter_table(self) -> str:
+        """Warehouse table of the seen-set prefilter ('bloom' or 'cuckoo')."""
+        return self.settings.crawl.seen_filter
+
+    def _new_bloom(self) -> "PartitionedBloom | PartitionedCuckoo":
         c = self.settings.crawl
+        if c.seen_filter == "cuckoo":
+            return PartitionedCuckoo(c.cuckoo_entries, c.cuckoo_slots, c.seen_buckets)
         return PartitionedBloom(c.bloom_bits, c.bloom_hashes, c.seen_buckets)
 
     def _bloom_probe_mode(self) -> str:
         """'broadcast' (small filter: collect + ship whole) or 'routed'
         (bucket-cogrouped probe; the filter never leaves the executors).
-        'auto' switches on the statically-known total bitmap size — at 10^10
-        URLs a useful bloom is 10+ GB and MUST take the routed path."""
+        'auto' switches on the statically-known total filter size — at 10^10
+        URLs a useful filter is 10+ GB and MUST take the routed path."""
         c = self.settings.crawl
         if c.bloom_probe != "auto":
             return c.bloom_probe
-        total = (c.bloom_bits // 8 + 1) * c.seen_buckets
+        if c.seen_filter == "cuckoo":
+            total = c.cuckoo_entries * c.cuckoo_slots * 2 * c.seen_buckets
+        else:
+            total = (c.bloom_bits // 8 + 1) * c.seen_buckets
         return "broadcast" if total <= c.bloom_broadcast_max_bytes else "routed"
 
     def _bloom_from_warehouse(self):
-        """Current bloom state in the representation the probe mode needs:
-        a driver PartitionedBloom (broadcast mode) or the warehouse DataFrame
-        itself (routed mode — never collected)."""
+        """Current prefilter state in the representation the probe mode needs:
+        a driver PartitionedBloom/PartitionedCuckoo (broadcast mode) or the
+        warehouse DataFrame itself (routed mode — never collected)."""
+        tname = self._filter_table
         if self._bloom_probe_mode() == "routed":
             return (
-                self.wh.read_state(self.spark, "bloom")
-                if self.wh.has_table("bloom")
+                self.wh.read_state(self.spark, tname)
+                if self.wh.has_table(tname)
                 else None
             )
-        bloom = self._new_bloom()
-        if self.wh.has_table("bloom"):
-            rows = self.wh.read_state(self.spark, "bloom").collect()
-            if rows:
-                bloom = PartitionedBloom.from_rows(
+        flt = self._new_bloom()
+        if self.wh.has_table(tname):
+            rows = self.wh.read_state(self.spark, tname).collect()
+            if rows and tname == "cuckoo":
+                flt = PartitionedCuckoo.from_rows(
+                    [(r["bucket"], r["table"], r["m"], r["slots"], r["n_buckets"]) for r in rows]
+                )
+            elif rows:
+                flt = PartitionedBloom.from_rows(
                     [(r["bucket"], r["bitmap"], r["bits"], r["k"], r["n_buckets"]) for r in rows]
                 )
-        return bloom
+        return flt
+
+    def _filter_update(self, new_hashes: DataFrame, prev_df, deletes: DataFrame | None = None):
+        """This round's prefilter state from the previous state + adds
+        (+ deletes, cuckoo only) — executor-side per-bucket cogroup."""
+        c = self.settings.crawl
+        if c.seen_filter == "cuckoo":
+            return distributed_cuckoo_update(
+                new_hashes, prev_df, c.cuckoo_entries, c.cuckoo_slots,
+                c.seen_buckets, deleted_hashes=deletes,
+            )
+        assert deletes is None, "bloom filters cannot delete — use seen_filter='cuckoo'"
+        return distributed_bloom_update(
+            new_hashes, prev_df, c.bloom_bits, c.bloom_hashes, c.seen_buckets
+        )
 
     def _load_state(self):
         """(frontier, seen, bloom, next_key, next_round) from the last commit."""
@@ -255,6 +286,76 @@ class Crawler:
         if limit is not None:
             out = out.filter(F.col("_rn") <= start + limit)
         return out.drop("_rn")
+
+    # ------------------------------------------------------------------
+    def evict(self, urls: DataFrame, requeue: bool = True) -> int:
+        """Re-crawl eviction: remove URLs from the exact seen set AND the
+        prefilter, so a future round fetches them again (the north_star's
+        deletable-filter path; a production re-crawl policy calls this with
+        the stale slice of the seen table).
+
+        ``urls``: any frame with a ``url`` column (canonicalized here).
+        Only URLs actually present in the seen set are deleted from the
+        filter — deleting a never-inserted key could clear a colliding key's
+        fingerprint (inherent cuckoo-filter caveat; the exact semi-join is
+        the guard).
+
+        * ``seen_filter='cuckoo'``: per-bucket fingerprint deletes — ONE
+          cogroup over the eviction hashes, no rebuild (this is why the
+          cuckoo path exists: at 10^10 URLs a Bloom rebuild re-reads the
+          whole seen table per eviction wave).
+        * ``seen_filter='bloom'``: Bloom filters cannot delete — the filter
+          is REBUILT from the remaining seen hashes (one pass over the seen
+          table; the documented rebuild story).
+
+        ``requeue=True`` additionally re-enqueues the evicted URLs into the
+        frontier (priority 0, provider 'recrawl') in the SAME commit, so the
+        next ``run()`` re-fetches them — the full re-crawl loop. Commits a
+        new warehouse round (snapshots: seen + filter [+ frontier]) so
+        eviction is atomic and resume-exact like any crawl round. Returns
+        the number of evicted seen rows."""
+        sp = self.spark
+        seen = self.wh.read_state(sp, "seen", schemas.SEEN)
+        ev = enrich(urls.select("url")).select(
+            F.col("curl").alias("_eurl"), F.col("url_hash").alias("_ehash")
+        )
+        cond = (seen["url_hash"] == ev["_ehash"]) & (seen["url"] == ev["_eurl"])
+        removed = seen.join(ev, cond, "semi").persist()
+        n = removed.count()
+        if n == 0:
+            removed.unpersist()
+            return 0
+        new_seen = seen.join(ev, cond, "left_anti")
+        tname = self._filter_table
+        empty_hashes = sp.createDataFrame([], "url_hash long")
+        if self.settings.crawl.seen_filter == "cuckoo":
+            prev = self.wh.read_state(sp, tname) if self.wh.has_table(tname) else None
+            filter_df = self._filter_update(
+                empty_hashes, prev, deletes=removed.select("url_hash")
+            )
+        else:
+            filter_df = self._filter_update(new_seen.select("url_hash"), None)
+        round_ = self.wh.last_round() + 1
+        snapshots = {"seen": new_seen, tname: filter_df}
+        if requeue:
+            frontier = enrich(
+                self.wh.read_state(sp, "frontier", schemas.FRONTIER)
+            ).select(*ENRICHED_COLS)
+            req = enrich(
+                removed.select(
+                    "url",
+                    F.lit(None).cast("string").alias("host"),
+                    F.lit(0).cast("int").alias("priority"),
+                    F.lit(None).cast("timestamp").alias("warc_ts"),
+                    F.lit("recrawl").alias("provider"),
+                    F.lit(round_).cast("int").alias("discovered_round"),
+                    F.lit(0).cast("int").alias("retries"),
+                )
+            ).withColumn("host", F.col("chost")).select(*ENRICHED_COLS)
+            snapshots["frontier"] = frontier.unionByName(req)
+        self.wh.commit_round(round_, snapshots=snapshots)
+        removed.unpersist()
+        return n
 
     # ------------------------------------------------------------------
     def run(self, max_rounds: int | None = None) -> list[RoundResult]:
@@ -296,6 +397,7 @@ class Crawler:
         s = self.settings.crawl
         sp = self.spark
         tm = _Timer(round_)
+        _pins: list = []
 
         base = enrich(frontier)
 
@@ -328,6 +430,7 @@ class Crawler:
         base = split_new_vs_seen(
             base, seen, bloom if s.bloom_enabled else None,
             bloom_buckets=s.seen_buckets,
+            keep=_pins,
         ).persist()
 
         if s.budget_override is not None:  # bulk/bench mode
@@ -450,7 +553,6 @@ class Crawler:
         #    below: its four consumers (crawl_log, seen, both key_map joins)
         #    run as concurrent commit writes, and a lazily-materialized cache
         #    would serialize them on the cache-fill lock.
-        _pins: list = []
         ranked = rank_and_key(
             statused.select("curl", "url_hash", "chost", "priority", "warc_ts", "url",
                             (F.col("disposition") == "fetched").alias("is_fetched")),
@@ -562,26 +664,23 @@ class Crawler:
         new_frontier = deferred.unionByName(retried_rows)
         new_seen_all = seen.unionByName(new_seen)
 
-        # update bloom with this round's new hashes — EXECUTOR-side per-bucket
-        # bitmap OR-aggregation (seen.distributed_bloom_update); the driver
-        # never collects url hashes. The cogroup job runs inside the commit's
-        # parallel write wave.
+        # update the prefilter with this round's new hashes — EXECUTOR-side
+        # per-bucket cogroup (seen.distributed_bloom_update / _cuckoo_update);
+        # the driver never collects url hashes. The cogroup job runs inside
+        # the commit's parallel write wave.
         tm.lap("pre-bloom")
-        if self.wh.has_table("bloom"):
-            prev_bloom_df = self.wh.read_state(sp, "bloom")
+        tname = self._filter_table
+        if self.wh.has_table(tname):
+            prev_bloom_df = self.wh.read_state(sp, tname)
         elif isinstance(bloom, DataFrame):
             prev_bloom_df = bloom
         elif isinstance(bloom, PartitionedBloom) and bloom.bitmaps:
             prev_bloom_df = sp.createDataFrame(bloom.to_rows(), schemas.BLOOM)
+        elif isinstance(bloom, PartitionedCuckoo) and bloom.tables:
+            prev_bloom_df = sp.createDataFrame(bloom.to_rows(), schemas.CUCKOO)
         else:
             prev_bloom_df = None
-        bloom_df = distributed_bloom_update(
-            new_seen.select("url_hash"),
-            prev_bloom_df,
-            s.bloom_bits,
-            s.bloom_hashes,
-            s.seen_buckets,
-        )
+        bloom_df = self._filter_update(new_seen.select("url_hash"), prev_bloom_df)
         tm.lap("bloom plan")
 
         # sort-on-write (S21, the reference's post-load CLUSTER analog,
@@ -589,7 +688,7 @@ class Crawler:
         # are ordered by surrogate_key; footer stats land in the manifest
         self.wh.commit_round(
             round_,
-            snapshots={"frontier": new_frontier, "seen": new_seen_all, "bloom": bloom_df},
+            snapshots={"frontier": new_frontier, "seen": new_seen_all, tname: bloom_df},
             appends={
                 "crawl_log": crawl_log,
                 "lineage": lineage,

@@ -101,6 +101,16 @@ BLOOM = StructType(
     ]
 )
 
+CUCKOO = StructType(
+    [
+        StructField("bucket", IntegerType(), False),
+        StructField("table", BinaryType(), False),   # uint16[m][slots] fingerprints
+        StructField("m", LongType(), False),         # cuckoo buckets per partition
+        StructField("slots", IntegerType(), False),
+        StructField("n_buckets", IntegerType(), False),
+    ]
+)
+
 # per-partition lineage for a round's fetch stage (north_rule counters+lineage)
 LINEAGE = StructType(
     [

@@ -118,6 +118,173 @@ class PartitionedBloom:
         return cls(bits, k, nb, bitmaps)
 
 
+def _splitmix64_int(x: int) -> int:
+    """Scalar splitmix64 over a (possibly signed) 64-bit int."""
+    m = 0xFFFFFFFFFFFFFFFF
+    x = (x + 0x9E3779B97F4A7C15) & m
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m
+    return x ^ (x >> 31)
+
+
+class PartitionedCuckoo:
+    """Hash-range-partitioned cuckoo filter over xxhash64 keys — the
+    DELETABLE seen-set prefilter (re-crawl eviction at 10^10 URLs, where a
+    Bloom filter would force a full rebuild per eviction wave).
+
+    Public construction (Fan et al., "Cuckoo Filter: Practically Better Than
+    Bloom", CoNEXT 2014): per key a 16-bit fingerprint stored in one of two
+    candidate buckets of ``slots`` entries; partial-key cuckoo hashing gives
+    the alternate bucket as ``i ^ hash(fp)``, so eviction chains never need
+    the original key. Same exactness contract as PartitionedBloom: the filter
+    only ROUTES (maybe/definitely-new); an exact join confirms — so a false
+    positive costs a join row, never a wrong answer.
+
+    Deterministic throughout (victim slot rotates by kick count, start bucket
+    picked by fingerprint parity) — same input always builds the same tables.
+
+    Set semantics: ``add`` is idempotent (a fingerprint already present in a
+    candidate bucket is not stored twice), which makes ``delete`` exact for
+    keys that were inserted. Deleting a key that was never added may clear a
+    colliding key's fingerprint (inherent to cuckoo filters — public caveat);
+    callers must pre-filter deletions against the exact seen set, as
+    Crawler.evict does.
+
+    Partitioned like the Bloom: key-space routed by ``hash & (n_buckets-1)``,
+    one (bucket, table) row per partition; build/probe are per-bucket
+    cogroups, so no task or the driver ever holds more than one bucket's
+    table (~``m * slots * 2`` bytes). Insert placement is a per-item loop
+    (cuckoo kicks are inherently sequential) over a numpy table — throughput
+    scales with executors because buckets are independent; probes and the
+    already-present screen are fully vectorized.
+    """
+
+    def __init__(self, m: int, slots: int, n_buckets: int,
+                 tables: dict[int, np.ndarray] | None = None,
+                 max_kicks: int = 500):
+        if m & (m - 1):
+            raise ValueError(f"m must be a power of two, got {m}")
+        self.m = m
+        self.slots = slots
+        self.n_buckets = n_buckets
+        self.tables = tables or {}
+        self.max_kicks = max_kicks
+
+    def _table(self, bucket: int) -> np.ndarray:
+        t = self.tables.get(bucket)
+        if t is None:
+            t = np.zeros((self.m, self.slots), dtype=np.uint16)
+            self.tables[bucket] = t
+        return t
+
+    def _derive(self, hashes: np.ndarray):
+        """(fingerprint uint16 nonzero, i1, i2) arrays for keys."""
+        h = hashes.astype(np.int64).view(np.uint64)
+        fp = (_splitmix64(h) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        i1 = ((h >> np.uint64(16)) & np.uint64(self.m - 1)).astype(np.int64)
+        i2 = i1 ^ (_splitmix64(fp.astype(np.uint64)) & np.uint64(self.m - 1)).astype(np.int64)
+        return fp, i1, i2
+
+    def _alt(self, i: int, fp: int) -> int:
+        return i ^ (_splitmix64_int(fp) & (self.m - 1))
+
+    def _route(self, hashes: np.ndarray) -> np.ndarray:
+        return (hashes.astype(np.int64).view(np.uint64) % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def add(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        buckets = self._route(hashes)
+        fp, i1, i2 = self._derive(hashes)
+        for b in np.unique(buckets):
+            sel = buckets == b
+            tbl = self._table(int(b))
+            present = (tbl[i1[sel]] == fp[sel][:, None]).any(axis=1) | (
+                tbl[i2[sel]] == fp[sel][:, None]
+            ).any(axis=1)
+            for f, a, c in zip(fp[sel][~present], i1[sel][~present], i2[sel][~present]):
+                f, a, c = int(f), int(a), int(c)
+                placed = False
+                for idx in (a, c):
+                    free = np.flatnonzero(tbl[idx] == 0)
+                    if len(free):
+                        tbl[idx, free[0]] = f
+                        placed = True
+                        break
+                if placed:
+                    continue
+                cur = a if f & 1 else c
+                for kick in range(self.max_kicks):
+                    slot = kick % self.slots  # deterministic victim rotation
+                    f, tbl[cur, slot] = int(tbl[cur, slot]), f
+                    cur = self._alt(cur, f)
+                    free = np.flatnonzero(tbl[cur] == 0)
+                    if len(free):
+                        tbl[cur, free[0]] = f
+                        break
+                else:
+                    raise RuntimeError(
+                        f"cuckoo bucket {int(b)} full after {self.max_kicks} kicks — "
+                        f"raise cuckoo_entries (m={self.m}, load factor too high)"
+                    )
+
+    def delete(self, hashes: np.ndarray) -> None:
+        """Remove one stored copy of each key's fingerprint (keys MUST have
+        been inserted — see class docstring; absent fingerprints are no-ops)."""
+        if len(hashes) == 0:
+            return
+        buckets = self._route(hashes)
+        fp, i1, i2 = self._derive(hashes)
+        for b in np.unique(buckets):
+            sel = np.flatnonzero(buckets == b)
+            tbl = self.tables.get(int(b))
+            if tbl is None:
+                continue
+            for j in sel:
+                f = int(fp[j])
+                for idx in (int(i1[j]), int(i2[j])):
+                    hit = np.flatnonzero(tbl[idx] == f)
+                    if len(hit):
+                        tbl[idx, hit[0]] = 0
+                        break
+
+    def might_contain(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        buckets = self._route(hashes)
+        fp, i1, i2 = self._derive(hashes)
+        out = np.zeros(len(hashes), dtype=bool)
+        for b in np.unique(buckets):
+            sel = buckets == b
+            tbl = self.tables.get(int(b))
+            if tbl is None:
+                continue
+            out[sel] = (tbl[i1[sel]] == fp[sel][:, None]).any(axis=1) | (
+                tbl[i2[sel]] == fp[sel][:, None]
+            ).any(axis=1)
+        return out
+
+    # -- (de)serialization — same row-per-bucket shape as PartitionedBloom --
+    def to_rows(self) -> list[tuple[int, bytes, int, int, int]]:
+        return [
+            (b, t.tobytes(), self.m, self.slots, self.n_buckets)
+            for b, t in sorted(self.tables.items())
+        ]
+
+    @classmethod
+    def from_rows(cls, rows) -> "PartitionedCuckoo":
+        tables = {}
+        m = slots = nb = None
+        for b, blob, m, slots, nb in rows:
+            tables[int(b)] = (
+                np.frombuffer(bytes(blob), dtype=np.uint16).reshape(int(m), int(slots)).copy()
+            )
+        if m is None:
+            raise ValueError("empty cuckoo rows")
+        return cls(int(m), int(slots), int(nb), tables)
+
+
 def bloom_filter_column(bloom: PartitionedBloom | None, hash_col: str):
     """Vectorized (Arrow-batched) Bloom probe as a BooleanType pandas UDF.
 
@@ -133,14 +300,15 @@ def bloom_filter_column(bloom: PartitionedBloom | None, hash_col: str):
     ``bloom_broadcast_max_bytes`` take ``bloom_probe_routed`` instead, where
     each task sees only its bucket's bitmap.
     """
-    if bloom is None or not bloom.bitmaps:
+    if bloom is None or not getattr(bloom, "bitmaps", getattr(bloom, "tables", None)):
         return F.lit(True)
+    cls = type(bloom)  # PartitionedBloom or PartitionedCuckoo — same contract
     spark = __import__("pyspark").sql.SparkSession.getActiveSession()
     bc = spark.sparkContext.broadcast(bloom.to_rows())
 
     @F.pandas_udf(BooleanType())
     def probe(h: pd.Series) -> pd.Series:
-        bl = PartitionedBloom.from_rows(bc.value)
+        bl = cls.from_rows(bc.value)
         return pd.Series(bl.might_contain(h.to_numpy(dtype=np.int64)))
 
     return probe(F.col(hash_col))
@@ -190,13 +358,123 @@ def bloom_probe_routed(
     )
 
 
+def cuckoo_probe_routed(
+    keys: DataFrame, cuckoo_df: DataFrame, n_buckets: int, hash_col: str = "h"
+) -> DataFrame:
+    """Bucket-routed cuckoo probe — identical shape to bloom_probe_routed:
+    keys shuffled by ``hash % n_buckets``, cogrouped with ONLY that bucket's
+    table row; returns (``hash_col``, maybe boolean)."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    kb = keys.select(
+        F.col(hash_col).alias("h"),
+        F.col(hash_col).bitwiseAND(F.lit(n_buckets - 1)).cast("int").alias("bucket"),
+    )
+    ck = cuckoo_df.select("bucket", "table", "m", "slots", "n_buckets")
+
+    def probe(key, k_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(k_pdf):
+            return pd.DataFrame(
+                {"h": pd.Series(dtype="int64"), "maybe": pd.Series(dtype=bool)}
+            )
+        h = k_pdf["h"].to_numpy(dtype=np.int64)
+        if not len(c_pdf):
+            maybe = np.zeros(len(h), dtype=bool)
+        else:
+            r = c_pdf.iloc[0]
+            ck_ = PartitionedCuckoo.from_rows(
+                [(int(r["bucket"]), r["table"], int(r["m"]), int(r["slots"]), int(r["n_buckets"]))]
+            )
+            maybe = ck_.might_contain(h)
+        return pd.DataFrame({"h": h, "maybe": maybe})
+
+    return (
+        kb.groupBy("bucket")
+        .cogroup(ck.groupBy("bucket"))
+        .applyInPandas(probe, "h long, maybe boolean")
+        .withColumnRenamed("h", hash_col)
+    )
+
+
+def distributed_cuckoo_update(
+    new_hashes: DataFrame,
+    prev_cuckoo: DataFrame | None,
+    m: int,
+    slots: int,
+    n_buckets: int,
+    hash_col: str = "url_hash",
+    deleted_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Executor-side cuckoo build/update: per-bucket insert AND delete in one
+    cogroup — the deletable analog of distributed_bloom_update (same shuffle
+    shape: this round's add/delete hashes routed by ``hash & (n_buckets-1)``,
+    cogrouped with the bucket's previous table row). Deletes apply before
+    adds, so an evict+re-crawl of the same URL in one update nets present.
+    Output is a CUCKOO-schema frame covering every bucket that has state.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    from . import schemas
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    ops = new_hashes.select(
+        F.col(hash_col).bitwiseAND(F.lit(n_buckets - 1)).cast("int").alias("bucket"),
+        F.col(hash_col).alias("h"),
+        F.lit(1).alias("op"),
+    )
+    if deleted_hashes is not None:
+        ops = ops.unionByName(
+            deleted_hashes.select(
+                F.col(hash_col).bitwiseAND(F.lit(n_buckets - 1)).cast("int").alias("bucket"),
+                F.col(hash_col).alias("h"),
+                F.lit(-1).alias("op"),
+            )
+        )
+    prev = (
+        prev_cuckoo.select("bucket", "table")
+        if prev_cuckoo is not None
+        else spark.createDataFrame([], schemas.CUCKOO).select("bucket", "table")
+    )
+
+    def merge(key, ops_pdf: pd.DataFrame, prev_pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        if len(prev_pdf):
+            ck = PartitionedCuckoo.from_rows(
+                [(bucket, prev_pdf["table"].iloc[0], m, slots, n_buckets)]
+            )
+        else:
+            ck = PartitionedCuckoo(m, slots, n_buckets)
+        if len(ops_pdf):
+            dels = ops_pdf.loc[ops_pdf["op"] < 0, "h"].to_numpy(dtype=np.int64)
+            adds = ops_pdf.loc[ops_pdf["op"] > 0, "h"].to_numpy(dtype=np.int64)
+            ck.delete(dels)
+            ck.add(adds)
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "table": [ck._table(bucket).tobytes()],
+                "m": [m],
+                "slots": [slots],
+                "n_buckets": [n_buckets],
+            }
+        )
+
+    return (
+        ops.groupBy("bucket")
+        .cogroup(prev.groupBy("bucket"))
+        .applyInPandas(merge, schemas.CUCKOO)
+    )
+
+
 def split_new_vs_seen(
     batch: DataFrame,
     seen: DataFrame,
-    bloom: "PartitionedBloom | DataFrame | None",
+    bloom: "PartitionedBloom | PartitionedCuckoo | DataFrame | None",
     hash_col: str = "url_hash",
     url_col: str | None = None,
     bloom_buckets: int | None = None,
+    keep: list | None = None,
 ) -> DataFrame:
     """Adds ``is_seen`` boolean: exact membership of batch[hash_col] in seen.
 
@@ -204,10 +482,17 @@ def split_new_vs_seen(
     confirmed with a left-semi/anti join pair expressed as a left join on the
     deduplicated seen keys — one shuffle over only the candidate subset.
 
-    ``bloom`` may be a driver-side PartitionedBloom (small filters: one
-    broadcast, zero extra shuffles) or the bloom *DataFrame* straight from the
-    warehouse (scale path: bucket-routed cogroup probe, the filter is never
-    collected or broadcast whole — pass ``bloom_buckets``).
+    ``bloom`` may be a driver-side PartitionedBloom / PartitionedCuckoo
+    (small filters: one broadcast, zero extra shuffles) or the filter
+    *DataFrame* straight from the warehouse (scale path: bucket-routed
+    cogroup probe, the filter is never collected or broadcast whole — pass
+    ``bloom_buckets``; a ``bitmap`` column means Bloom, a ``table`` column
+    means cuckoo).
+
+    In routed mode the batch subtree feeds TWO consumers (the distinct probe
+    keys and the join's left side), so it is persisted here; the handle is
+    appended to ``keep`` for the caller to unpersist after materialization
+    (without it the enrich+dedup pipeline upstream ran twice per action).
 
     Membership is confirmed on the canonical-URL *string*, not the 64-bit hash
     alone (at a 10^10-URL seen set the birthday bound expects ~3 xxhash64
@@ -221,7 +506,11 @@ def split_new_vs_seen(
         )
     if isinstance(bloom, DataFrame):
         assert bloom_buckets, "bloom_buckets required for the routed probe"
-        probed = bloom_probe_routed(
+        batch = batch.persist()
+        if keep is not None:
+            keep.append(batch)
+        routed = cuckoo_probe_routed if "table" in bloom.columns else bloom_probe_routed
+        probed = routed(
             batch.select(F.col(hash_col).alias("_ph")).distinct(),
             bloom,
             bloom_buckets,

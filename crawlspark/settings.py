@@ -59,6 +59,12 @@ class CrawlSettings:
     # total filter size vs bloom_broadcast_max_bytes
     bloom_probe: str = "auto"
     bloom_broadcast_max_bytes: int = 64 << 20
+    # seen-set prefilter kind: 'bloom' (append-only; eviction = rebuild) or
+    # 'cuckoo' (deletable — re-crawl eviction is a per-bucket fingerprint
+    # delete, no rebuild; see seen.PartitionedCuckoo / Crawler.evict)
+    seen_filter: str = "bloom"
+    cuckoo_entries: int = 1 << 14   # cuckoo buckets per hash-range partition
+    cuckoo_slots: int = 4           # fingerprints per cuckoo bucket
 
 
 @dataclass

@@ -50,8 +50,24 @@ def discovered_urls_stream(
     # after a stream restart (committed here, not yet in Spark's checkpoint
     # when the stream died) maps to the same round number and hits
     # commit_round's idempotent no-op — re-reading last_round() at each
-    # stream start would re-base such a batch and append it twice
-    base_round = warehouse.stream_epoch(str(checkpoint_dir))
+    # stream start would re-base such a batch and append it twice.
+    # Resolved on the FIRST micro-batch (not at start) so the stream's query
+    # id — written to {checkpoint}/metadata by then — rides along: a deleted-
+    # and-recreated checkpoint changes the id and stream_epoch fails loudly
+    # instead of silently no-opping batch 0 onto a committed round.
+    _cache: dict[str, int] = {}
+
+    def _base_round() -> int:
+        if "epoch" not in _cache:
+            import json as _json
+            from pathlib import Path as _Path
+
+            meta = _Path(str(checkpoint_dir)) / "metadata"
+            qid = None
+            if meta.exists():
+                qid = _json.loads(meta.read_text()).get("id")
+            _cache["epoch"] = warehouse.stream_epoch(str(checkpoint_dir), qid)
+        return _cache["epoch"]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         seen = warehouse.read_state(spark, "seen", schemas.SEEN)
@@ -71,7 +87,7 @@ def discovered_urls_stream(
         ).dropDuplicates(["url_hash"])
         # append via the warehouse so batch and streaming share the commit path
         warehouse.commit_round(
-            base_round + int(batch_id) + 1, appends={out_table: out}
+            _base_round() + int(batch_id) + 1, appends={out_table: out}
         )
 
     return (

@@ -105,6 +105,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_class_pairs: int | None = None,
+    keep: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a<b) via banded MinHash, verified with exact
     shingle-set Jaccard (no false positives in the output).
@@ -119,6 +121,20 @@ def minhash_lsh_pairs(
     are expanded back to member pairs with two keyed joins (distributed,
     AQE-skew-splittable). Output is identical to running LSH over all docs:
     signatures depend only on text, so same-class docs share every bucket.
+
+    ``max_class_pairs`` guards the pair CONTRACT's O(class²) in-class term —
+    a 10⁶-copy boilerplate class would emit 5·10¹¹ (a,b,1.0) rows by
+    definition. When set, classes whose all-pairs count exceeds the cap emit
+    a SPANNING STAR instead (keeper→member, n-1 rows): downstream
+    ``dedup_clusters`` output is IDENTICAL (connectivity preserved, keeper =
+    min id either way); only the diagnostic pair list is reduced, and the
+    reduction is logged (count of classes + pairs elided — no silent caps).
+    At 10^10-doc scale set this (and consume clusters, not pairs); the
+    default None keeps the exact all-pairs contract for the oracle battery.
+
+    ``keep``: persisted intermediates (the op's working set: unique-text reps
+    + signatures/shingle sets) are appended here for the caller to unpersist
+    after materialization; left cached for the session otherwise.
     """
     rows_per_band = num_hashes // bands
     docs_h = documents.select("doc_id", "text", F.md5("text").alias("_th"))
@@ -138,11 +154,14 @@ def minhash_lsh_pairs(
             # texts within a class are identical, so any member's text works
             F.min("doc_id").alias("doc_id"),
             F.first("text").alias("text"),
+            F.count("*").alias("_n"),
         )
         .persist()
     )
     mem = docs_h.select("_th", "doc_id")
-    sig = minhash_signature(reps, num_hashes, shingle_n).persist()
+    sig = minhash_signature(reps.select("doc_id", "text"), num_hashes, shingle_n).persist()
+    if keep is not None:
+        keep.extend([reps, sig])
     # the banded frame carries ONLY (doc_id, band, bucket); candidate pairs
     # come from ONE groupBy per (band, bucket) with an in-bucket pair explode
     # (bucket populations are O(near-dup-group) by LSH construction) — no
@@ -207,12 +226,50 @@ def minhash_lsh_pairs(
             "jaccard",
         )
     )
-    ingroup = (
-        mem.select("_th", F.col("doc_id").alias("a"))
-        .join(mem.select("_th", F.col("doc_id").alias("b")), "_th")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.lit(1.0).alias("jaccard"))
-    )
+    if max_class_pairs is None:
+        ingroup = (
+            mem.select("_th", F.col("doc_id").alias("a"))
+            .join(mem.select("_th", F.col("doc_id").alias("b")), "_th")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", F.lit(1.0).alias("jaccard"))
+        )
+    else:
+        npairs = F.col("_n") * (F.col("_n") - 1) / 2
+        capped = reps.filter(npairs > max_class_pairs)
+        stats = capped.agg(
+            F.count("*").alias("classes"),
+            F.sum(npairs - (F.col("_n") - 1)).alias("elided"),
+        ).collect()[0]
+        if stats["classes"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: %d exact-dup class(es) exceed "
+                "max_class_pairs=%d — emitting spanning stars instead of "
+                "all-pairs (%d diagnostic pairs elided; dedup_clusters "
+                "output unaffected)",
+                stats["classes"], max_class_pairs, int(stats["elided"]),
+            )
+        small = mem.join(
+            reps.filter(npairs <= max_class_pairs).select("_th"), "_th"
+        )
+        ingroup = (
+            small.select("_th", F.col("doc_id").alias("a"))
+            .join(small.select("_th", F.col("doc_id").alias("b")), "_th")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", F.lit(1.0).alias("jaccard"))
+        ).unionByName(
+            # spanning star for capped classes: keeper (min id) → each member
+            mem.join(
+                capped.select("_th", F.col("doc_id").alias("_rep")), "_th"
+            )
+            .filter(F.col("doc_id") != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("a"),
+                F.col("doc_id").alias("b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
     return expanded.unionByName(ingroup)
 
 
@@ -279,11 +336,17 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     per round one keyed join + min-aggregation over the symmetric edge set,
     all map-side-combinable), driver-looped to a fixpoint — rounds needed =
     graph diameter, which for near-dup clusters is tiny (they are dense
-    clique-ish blobs, not paths). Each round's labels are persisted and the
-    previous round unpersisted; the fixpoint check rides the same action that
-    materializes the round (one job per round). Diameter-proof variants
-    (large-star/small-star, Kiveris et al. 2014) drop in here if a corpus
-    ever produces chain-shaped components; the exchange shape is the same.
+    clique-ish blobs, not paths). Each round's labels are checkpointed and
+    the PREVIOUS round's checkpoint blocks released once superseded; the
+    fixpoint check rides the same action that materializes the round (one
+    job per round). Diameter-proof variants (large-star/small-star, Kiveris
+    et al. 2014) drop in here if a corpus ever produces chain-shaped
+    components; the exchange shape is the same.
+
+    Raises RuntimeError if the fixpoint is NOT reached within ``max_iters``
+    (a chain-shaped component with diameter > max_iters would otherwise be
+    silently split into several clusters) — raise ``max_iters`` or switch to
+    the diameter-proof variant for such graphs.
     """
     edges = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
     edges = edges.unionByName(
@@ -299,6 +362,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
+    changed = -1
     for _ in range(max_iters):
         nbr_min = (
             edges.join(
@@ -325,10 +389,22 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the count materialized new_labels' checkpoint; the superseded
+        # round's blocks can go (otherwise one checkpoint per round
+        # accumulates for the session lifetime in a long-running driver)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters} "
+            f"({changed} labels still changing): the pair graph has a component "
+            "with diameter > max_iters. Raise max_iters, or use a diameter-"
+            "proof variant (large-star/small-star) for chain-shaped graphs."
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
@@ -400,7 +476,8 @@ def cosine_expr(a, b):
     return dot / (na * nb)
 
 
-def ann_bruteforce_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+def ann_bruteforce_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+                        keep: list | None = None) -> DataFrame:
     """Exact top-k cosine neighbors of one vector — the correctness baseline.
     The query vector is a 1-row broadcast; scoring is one scan."""
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
@@ -411,10 +488,10 @@ def ann_bruteforce_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 1
         .crossJoin(F.broadcast(q))
         .select("vec_id", cosine_expr(F.col("embedding"), F.col("qvec")).alias("cos"))
     )
-    return _rank_topk(scored, k)
+    return _rank_topk(scored, k, keep)
 
 
-def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+def _rank_topk(scored: DataFrame, k: int, keep: list | None = None) -> DataFrame:
     """(vec_id, rank) of the k best by (cos desc, vec_id asc) WITHOUT a global
     window: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (per-
     partition top-k + driver merge — no single-partition shuffle), then ranks
@@ -422,6 +499,8 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     topk = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k).persist()
     # ^ k rows; both sides of the rank self-join read it — unpersisted, the
     # full scoring scan ran twice
+    if keep is not None:
+        keep.append(topk)
     l, r = topk.alias("l"), topk.alias("r")
     better = (F.col("r.cos") > F.col("l.cos")) | (
         (F.col("r.cos") == F.col("l.cos")) & (F.col("r.vec_id") < F.col("l.vec_id"))
@@ -526,6 +605,7 @@ def ann_lsh_topk(
     k: int = 10,
     planes: int = 8,
     probe_hamming: int = 1,
+    keep: list | None = None,
 ) -> DataFrame:
     """Bucketed ANN with hamming-``probe_hamming`` multi-probe: candidates
     share any sketch within ``probe_hamming`` bit flips of the query's (the
@@ -564,7 +644,7 @@ def ann_lsh_topk(
         F.broadcast(q), F.col("sketch") == F.col("qsketch")
     )
     scored = cand.select("vec_id", cosine_expr(F.col("embedding"), F.col("qvec")).alias("cos"))
-    return _rank_topk(scored, k)
+    return _rank_topk(scored, k, keep)
 
 
 def ann_knn_join_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
@@ -640,6 +720,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     bands: int = 4,
     planes_per_band: int = 16,
+    keep: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a<b). Candidates via BANDED
     sign-sketches (any of ``bands`` 16-plane sketches equal ⇒ candidate — the
@@ -657,6 +738,8 @@ def embedding_near_dup_pairs(
     banded = sk.select("vec_id", F.posexplode("sketches").alias("band", "sketch")).persist()
     # ^ persisted: both bucket_pairs branches read it — unpersisted they each
     # re-run the 64-projection sketch pass. 20 bytes × bands per vector.
+    if keep is not None:
+        keep.append(banded)
     pairs = bucket_pairs(banded, ["band", "sketch"], "vec_id")
     vecs = embeddings.select("vec_id", "embedding")
     # no broadcast hint: the pair set is O(near-dups) — gigabytes at 10^10

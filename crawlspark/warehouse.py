@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,21 @@ class Warehouse:
         self._manifest_path = self.path / "manifest.json"
 
     # -- manifest ----------------------------------------------------------
+    @contextmanager
+    def _manifest_lock(self):
+        """Exclusive advisory lock serializing manifest read-modify-write
+        cycles (two streams starting concurrently, or a stream committing
+        while the batch loop does, must not lose each other's updates).
+        flock is per-open-fd, so one lockfile guards across processes too."""
+        import fcntl
+
+        with open(self.path / ".manifest.lock", "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
     def manifest(self) -> dict:
         if self._manifest_path.exists():
             with open(self._manifest_path) as f:
@@ -51,7 +67,7 @@ class Warehouse:
     def last_round(self) -> int:
         return self.manifest()["last_round"]
 
-    def stream_epoch(self, checkpoint_key: str) -> int:
+    def stream_epoch(self, checkpoint_key: str, query_id: str | None = None) -> int:
         """Base round for a streaming query, persisted ON FIRST START keyed by
         its checkpoint location.
 
@@ -61,13 +77,40 @@ class Warehouse:
         (committed here but not yet recorded in Spark's checkpoint when the
         stream died) onto a fresh round number, bypassing commit_round's
         idempotent no-op and appending it twice.
+
+        ``query_id`` (the stream's id from the checkpoint's metadata file)
+        guards the OPPOSITE failure: a user deletes the Spark checkpoint but
+        keeps the warehouse. The restarted stream gets a NEW query id and its
+        batch 0 would map onto an already-committed round — commit_round
+        no-ops and new input is silently dropped. A query-id mismatch
+        therefore fails loudly instead. Pass the id once it exists (it is
+        written at stream start, so resolve on the first micro-batch — see
+        streaming.discovered_urls_stream).
         """
-        m = self.manifest()
-        epochs = m.setdefault("stream_epochs", {})
-        if checkpoint_key not in epochs:
-            epochs[checkpoint_key] = m["last_round"]
+        with self._manifest_lock():
+            m = self.manifest()
+            epochs = m.setdefault("stream_epochs", {})
+            rec = epochs.get(checkpoint_key)
+            if rec is not None:
+                if isinstance(rec, int):  # pre-query-id manifest record
+                    rec = {"epoch": rec, "query_id": None}
+                    epochs[checkpoint_key] = rec
+                if query_id is not None and rec["query_id"] not in (None, query_id):
+                    raise RuntimeError(
+                        f"streaming checkpoint {checkpoint_key!r} was deleted and "
+                        f"re-created (stream id {query_id} != recorded "
+                        f"{rec['query_id']}): its batch ids restart at 0 and would "
+                        "map onto already-committed rounds, silently dropping new "
+                        "input. Use a fresh checkpoint location (fresh epoch), or "
+                        "restore the original checkpoint."
+                    )
+                if query_id is not None and rec["query_id"] is None:
+                    rec["query_id"] = query_id
+                    self._write_manifest(m)
+                return rec["epoch"]
+            epochs[checkpoint_key] = {"epoch": m["last_round"], "query_id": query_id}
             self._write_manifest(m)
-        return epochs[checkpoint_key]
+            return m["last_round"]
 
     # -- commit ------------------------------------------------------------
     def commit_round(
@@ -95,8 +138,18 @@ class Warehouse:
         of sum(k) — this was the dominant serial fraction of a crawl round.
 
         Returns False (no-op) if the round is already committed — idempotent
-        re-commit for resume.
+        re-commit for resume. The whole commit holds the manifest lock, so
+        concurrent committers (two streams, or a stream plus the batch loop)
+        serialize instead of losing each other's manifest updates.
         """
+        with self._manifest_lock():
+            return self._commit_round_locked(
+                round_, snapshots, appends, local_appends, stats_cols
+            )
+
+    def _commit_round_locked(
+        self, round_, snapshots, appends, local_appends, stats_cols
+    ) -> bool:
         m = self.manifest()
         if round_ <= m["last_round"]:
             return False
@@ -197,10 +250,11 @@ class Warehouse:
             # crashed between os.rename and _write_manifest: the data is
             # complete (rename is atomic) but invisible — repair the manifest
             # instead of leaving the table permanently unreadable
-            m = self.manifest()
-            if name not in m["tables"]:
-                m["tables"][name] = {"kind": "snapshot", "rounds": [0]}
-                self._write_manifest(m)
+            with self._manifest_lock():
+                m = self.manifest()
+                if name not in m["tables"]:
+                    m["tables"][name] = {"kind": "snapshot", "rounds": [0]}
+                    self._write_manifest(m)
             return
         staging = final.parent / "_staging"
         if staging.exists():
@@ -208,9 +262,10 @@ class Warehouse:
         final.parent.mkdir(parents=True, exist_ok=True)
         df.write.mode("overwrite").parquet(str(staging))
         os.rename(staging, final)
-        m = self.manifest()
-        m["tables"].setdefault(name, {"kind": "snapshot", "rounds": [0]})
-        self._write_manifest(m)
+        with self._manifest_lock():
+            m = self.manifest()
+            m["tables"].setdefault(name, {"kind": "snapshot", "rounds": [0]})
+            self._write_manifest(m)
 
     # -- read --------------------------------------------------------------
     def _round_dir(self, name: str, round_: int) -> Path:

@@ -174,3 +174,55 @@ def test_idempotent_recommit(spark, synth_dfs, tmp_path):
     _, wh, _ = run_crawler(spark, synth_dfs, tmp_path / "whC", max_rounds=1)
     pages, frontier, robots, cache_df = synth_dfs
     assert wh.commit_round(0, snapshots={"frontier": frontier.limit(0)}) is False
+
+
+def test_crawl_cuckoo_matches_oracle(spark, synth_dfs, tmp_path):
+    """seen_filter='cuckoo' produces the exact same crawl as the bloom path
+    (filter kind is a routing detail; the exact join decides membership)."""
+    settings, wh, _ = run_crawler(
+        spark, synth_dfs, tmp_path / "whK",
+        overrides={"crawl": {"seen_filter": "cuckoo"}},
+    )
+    sim = oracle(settings)
+    log, seen, _ = collect_state(spark, wh)
+    assert log == sim.crawl_order
+    assert seen == sim.seen
+    assert wh.has_table("cuckoo") and not wh.has_table("bloom")
+
+
+@pytest.mark.parametrize("overrides", [
+    {"crawl": {"seen_filter": "cuckoo"}},
+    {"crawl": {"seen_filter": "cuckoo", "bloom_probe": "routed"}},
+    {"crawl": {}},  # bloom rebuild path
+])
+def test_evict_recrawl(spark, synth_dfs, tmp_path, overrides):
+    """Full re-crawl eviction loop: crawl → evict 3 urls (seen shrinks, they
+    re-enter the frontier) → run() fetches exactly those urls again with
+    fresh surrogate keys."""
+    settings, wh, _ = run_crawler(spark, synth_dfs, tmp_path / "whE", overrides=overrides)
+    _, seen_before, _ = collect_state(spark, wh)
+    victims = sorted(seen_before)[:3]
+    pages, frontier, robots, cache_df = synth_dfs
+    crawler = Crawler(
+        spark, settings, wh, synth.golden_fields(), pages, robots, frontier, cache_df
+    )
+    ev = spark.createDataFrame([(u,) for u in victims], ["url"])
+    n = crawler.evict(ev)
+    assert n == 3
+    seen_mid = {
+        r["url"] for r in wh.read_state(spark, "seen", schemas.SEEN).collect()
+    }
+    assert seen_mid == set(seen_before) - set(victims)
+    # evicting urls that are not in the seen set is a no-op (and must NOT
+    # delete colliding fingerprints / commit a round)
+    last = wh.last_round()
+    assert crawler.evict(spark.createDataFrame([("http://nowhere.example/x",)], ["url"])) == 0
+    assert wh.last_round() == last
+    # the re-crawl: only the evicted urls are eligible again
+    results = crawler.run()
+    assert sum(r.fetched for r in results) == 3
+    _, seen_after, _ = collect_state(spark, wh)
+    assert set(seen_after) == set(seen_before)
+    # fresh keys continue from the current max (first-seen-wins is per-life)
+    max_kept = max(v for u, v in seen_before.items() if u not in victims)
+    assert all(seen_after[u] > max_kept for u in victims)

@@ -168,3 +168,78 @@ def test_stream_epoch_stable_across_restarts(tmp_path):
     assert wh2.commit_round(epoch + 0 + 1, local_appends={"t": pa.table({"x": [1]})}) is False
     # a different checkpoint (new stream) gets its own epoch
     assert wh2.stream_epoch("ckpt-B") == wh2.last_round()
+
+
+def test_stream_epoch_detects_recreated_checkpoint(tmp_path):
+    """Deleting the Spark checkpoint while keeping the warehouse restarts
+    batch ids at 0 — the new stream's query id mismatches the recorded one
+    and stream_epoch fails loudly instead of silently no-opping."""
+    import pyarrow as pa
+    import pytest
+
+    from crawlspark.warehouse import Warehouse
+
+    wh = Warehouse(tmp_path / "wh")
+    assert wh.stream_epoch("ckpt-X", query_id="q-original") == -1
+    wh.commit_round(0, local_appends={"t": pa.table({"x": [1]})})
+    # same id (true restart): stable epoch
+    assert wh.stream_epoch("ckpt-X", query_id="q-original") == -1
+    # recreated checkpoint → new query id → loud failure
+    with pytest.raises(RuntimeError, match="deleted and re-created"):
+        wh.stream_epoch("ckpt-X", query_id="q-fresh")
+    # a late-arriving id on a legacy (id-less) record is adopted, not refused
+    assert wh.stream_epoch("ckpt-Y") == 0
+    assert wh.stream_epoch("ckpt-Y", query_id="q-late") == 0
+    with pytest.raises(RuntimeError):
+        wh.stream_epoch("ckpt-Y", query_id="q-other")
+
+
+def test_streaming_discovery_matches_batch_eligibility(spark, tmp_path):
+    """Cross-surface semantic pin (round-3 VERDICT #8): the streaming
+    discovery stage (canonicalize → robots → seen/dup filter) must admit
+    EXACTLY the url set the batch round loop deems eligible on the same
+    input — the two surfaces claim one semantics."""
+    import time
+
+    from crawlspark import schemas, synth
+    from crawlspark.scheduler import Crawler
+    from crawlspark.settings import Settings
+    from crawlspark.streaming import discovered_urls_stream
+    from crawlspark.warehouse import Warehouse
+
+    n, n_hosts = 60, 5
+    rows = synth.frontier_rows(n, n_hosts)
+    frontier = spark.createDataFrame(rows, schemas.FRONTIER)
+    robots = spark.createDataFrame(synth.robots_rows(n_hosts), schemas.ROBOTS)
+
+    # streaming surface
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    frontier.write.parquet(str(in_dir / "d1"))
+    wh_s = Warehouse(tmp_path / "whS")
+    q = discovered_urls_stream(
+        spark, str(in_dir / "d1"), wh_s, robots, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    time.sleep(0.5)
+    stream_urls = {
+        r["curl"] for r in wh_s.read_appends(spark, "discovered").collect()
+    }
+
+    # batch surface: bulk mode (unbounded budget) makes selected == eligible,
+    # so round-1 crawl_log is precisely the batch loop's eligibility verdict
+    pages = spark.createDataFrame(
+        [synth.page_row(i, n_hosts) for i in range(n)], schemas.PAGES
+    )
+    settings = Settings.new(
+        overrides={"crawl": {"budget_override": 10**9, "max_retries": 0}}
+    )
+    wh_b = Warehouse(tmp_path / "whB")
+    Crawler(
+        spark, settings, wh_b, synth.golden_fields(), pages, robots, frontier
+    ).run(max_rounds=1)
+    batch_urls = {
+        r["url"]
+        for r in wh_b.read_appends(spark, "crawl_log").filter("round = 0").collect()
+    }
+    assert stream_urls == batch_urls

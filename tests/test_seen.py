@@ -135,3 +135,130 @@ def test_dense_rank_variants_agree(spark):
     ordered = sorted(data, key=lambda t: (t[0], t[1], t[3]))
     for rank, row in enumerate(ordered, start=11):
         assert ra[row[3]] == rank
+
+
+# ---------------------------------------------------------------------------
+# cuckoo filter (deletable seen-set prefilter)
+# ---------------------------------------------------------------------------
+
+def test_cuckoo_add_probe_delete():
+    from crawlspark.seen import PartitionedCuckoo
+
+    ck = PartitionedCuckoo(1 << 10, 4, 4)
+    hs = np.arange(-500, 500, dtype=np.int64) * 2654435761
+    ck.add(hs)
+    assert ck.might_contain(hs).all()  # no false negatives
+    # idempotent add: re-adding stores nothing new, so ONE delete removes
+    ck.add(hs)
+    evicted = hs[::7]
+    ck.delete(evicted)
+    kept = np.setdiff1d(hs, evicted)
+    assert ck.might_contain(kept).all()
+    # deleted keys report not-present (their fp copy is gone; residual
+    # positives only from unrelated fp collisions — must be rare)
+    assert ck.might_contain(evicted).mean() < 0.05
+    fresh = np.arange(10_000_000, 10_001_000, dtype=np.int64)
+    assert ck.might_contain(fresh).mean() < 0.05
+
+
+def test_cuckoo_kick_eviction_densely_packed():
+    """Force relocation chains: tiny table at ~75% load still holds every key."""
+    from crawlspark.seen import PartitionedCuckoo
+
+    ck = PartitionedCuckoo(1 << 6, 4, 1)  # 256 slots in one partition bucket
+    hs = (
+        np.arange(190, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    ).view(np.int64)
+    ck.add(hs)
+    assert ck.might_contain(hs).all()
+
+
+def test_cuckoo_roundtrip_serialization():
+    from crawlspark.seen import PartitionedCuckoo
+
+    ck = PartitionedCuckoo(1 << 8, 4, 4)
+    hs = np.array([1, -7, 12345678901234, -99999999], dtype=np.int64)
+    ck.add(hs)
+    ck2 = PartitionedCuckoo.from_rows(ck.to_rows())
+    assert ck2.might_contain(hs).all()
+    assert (ck2.m, ck2.slots, ck2.n_buckets) == (ck.m, ck.slots, ck.n_buckets)
+    ck2.delete(hs[:2])
+    assert ck2.might_contain(hs[2:]).all()
+
+
+def test_cuckoo_routed_probe_matches_broadcast(spark):
+    """Bucket-routed cuckoo cogroup probe == driver-side might_contain."""
+    from crawlspark import schemas
+    from crawlspark.seen import (
+        PartitionedCuckoo,
+        cuckoo_probe_routed,
+        distributed_cuckoo_update,
+    )
+
+    n_buckets, m, slots = 8, 1 << 10, 4
+    added = spark.range(500).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    ck_df = distributed_cuckoo_update(added, None, m, slots, n_buckets)
+    rows = ck_df.collect()
+    ck_df = spark.createDataFrame(rows, schemas.CUCKOO)
+    ck = PartitionedCuckoo.from_rows(
+        [(r["bucket"], r["table"], r["m"], r["slots"], r["n_buckets"]) for r in rows]
+    )
+    probe_keys = spark.range(2000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("h")
+    )
+    routed = {
+        r["h"]: r["maybe"]
+        for r in cuckoo_probe_routed(probe_keys, ck_df, n_buckets).collect()
+    }
+    hs = np.array(sorted(routed), dtype=np.int64)
+    local = dict(zip(hs.tolist(), ck.might_contain(hs).tolist()))
+    assert routed == local
+    assert all(routed[r["h"]] for r in added.select(F.col("url_hash").alias("h")).collect())
+
+
+def test_cuckoo_distributed_delete(spark):
+    """One cogroup applies deletes before adds; deleted keys route as new."""
+    from crawlspark import schemas
+    from crawlspark.seen import PartitionedCuckoo, distributed_cuckoo_update
+
+    n_buckets, m, slots = 4, 1 << 10, 4
+    a = spark.range(300).select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    ck_df = distributed_cuckoo_update(a, None, m, slots, n_buckets)
+    ck_df = spark.createDataFrame(ck_df.collect(), schemas.CUCKOO)
+    dels = spark.range(100).select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    empty = spark.createDataFrame([], "url_hash long")
+    ck_df2 = distributed_cuckoo_update(
+        empty, ck_df, m, slots, n_buckets, deleted_hashes=dels
+    )
+    ck = PartitionedCuckoo.from_rows(
+        [(r["bucket"], r["table"], r["m"], r["slots"], r["n_buckets"]) for r in ck_df2.collect()]
+    )
+    kept = np.array(
+        [r["url_hash"] for r in a.subtract(dels).collect()], dtype=np.int64
+    )
+    gone = np.array([r["url_hash"] for r in dels.collect()], dtype=np.int64)
+    assert ck.might_contain(kept).all()
+    assert ck.might_contain(gone).mean() < 0.05
+
+
+def test_split_new_vs_seen_cuckoo(spark):
+    """split_new_vs_seen accepts cuckoo state in both transports."""
+    from crawlspark.seen import PartitionedCuckoo, distributed_cuckoo_update
+
+    batch = spark.createDataFrame([(i, f"u{i}") for i in range(20)], ["url_hash", "url"])
+    seen = spark.createDataFrame(
+        [(i, f"u{i}", i, 0) for i in range(0, 20, 2)],
+        ["url_hash", "url", "surrogate_key", "first_round"],
+    )
+    ck = PartitionedCuckoo(1 << 10, 4, 4)
+    ck.add(np.arange(0, 20, 2, dtype=np.int64))
+    out = {r["url_hash"]: r["is_seen"] for r in split_new_vs_seen(batch, seen, ck).collect()}
+    assert all(out[i] == (i % 2 == 0) for i in range(20))
+    ck_df = distributed_cuckoo_update(seen.select("url_hash"), None, 1 << 10, 4, 4)
+    out2 = {
+        r["url_hash"]: r["is_seen"]
+        for r in split_new_vs_seen(batch, seen, ck_df, bloom_buckets=4).collect()
+    }
+    assert out == out2

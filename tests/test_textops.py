@@ -448,3 +448,45 @@ def test_embed_neardup_recall_vs_bruteforce(spark):
     assert got <= exact          # verification step guarantees no false positives
     recall = len(got & exact) / len(exact)
     assert recall == 1.0, f"recall {recall}: {exact - got}"
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """A chain with diameter > max_iters must fail loudly, never return
+    silently-split clusters (round-3 ADVICE)."""
+    import pytest
+
+    from crawlspark.textops import dedup_clusters
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iters=3)
+    # and with enough rounds the same graph converges to one cluster
+    got = dedup_clusters(chain, max_iters=15).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert sum(r["is_keeper"] for r in got) == 1
+
+
+def test_minhash_max_class_pairs_guard(spark, caplog):
+    """A 10⁴-copy exact-dup class: the guard fires (logged, star emission —
+    9 999 rows instead of ~5·10⁷) and dedup_clusters output is unaffected."""
+    import logging
+
+    from crawlspark.textops import dedup_clusters
+
+    n = 10_000
+    rows = [(i, "same boilerplate page text for every single copy") for i in range(n)]
+    rows += [(n + 1, "an unrelated document with different words"),
+             (n + 2, "an unrelated document with different words")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with caplog.at_level(logging.WARNING, logger="crawlspark.textops"):
+        pairs = minhash_lsh_pairs(df, jaccard_threshold=0.9, max_class_pairs=1000)
+        got = pairs.collect()
+    assert "max_class_pairs" in caplog.text and "9999" not in ""  # guard logged
+    # big class → star (n-1 rows from keeper 0); small class → all-pairs (1 row)
+    big = [(r["a"], r["b"]) for r in got if r["b"] <= n]
+    assert len(big) == n - 1 and all(a == 0 for a, _ in big)
+    assert ((n + 1, n + 2) in {(r["a"], r["b"]) for r in got})
+    # clusters identical to the uncapped contract: one component per class
+    cl = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in dedup_clusters(pairs).collect()}
+    assert all(cl[i] == (0, i == 0) for i in range(n))
+    assert cl[n + 1] == (n + 1, True) and cl[n + 2] == (n + 1, False)

@@ -172,9 +172,11 @@ def docs_with_dups(docs, mod=25, offset=1000000):
     return docs + [(d + offset, t) for d, t in docs if d % mod == 0]
 
 
-def minhash_fixture(docs) -> pa.Table:
-    num, bands, rpb, thr = 16, 4, 4, 0.8
-    d = docs_with_dups(docs)
+def minhash_pairs_py(d: list[tuple[int, str]], thr: float) -> list[tuple[int, int, float]]:
+    """Verified MinHash-LSH pair mirror over an arbitrary corpus (per-doc
+    signatures + banding + exact-Jaccard verify — no rep collapse, which is
+    provably equivalent: signatures depend only on text)."""
+    num, bands, rpb = 16, 4, 4
     buckets: dict[tuple[int, int], list[int]] = {}
     texts = dict(d)
     for doc_id, text in d:
@@ -194,11 +196,74 @@ def minhash_fixture(docs) -> pa.Table:
         jac = len(sa & sb) / len(sa | sb)
         if jac >= thr:
             rows.append((a, b, round6(jac)))
+    return rows
+
+
+def minhash_fixture(docs) -> pa.Table:
+    rows = minhash_pairs_py(docs_with_dups(docs), 0.8)
     return pa.table(
         {
             "a": pa.array([r[0] for r in rows], pa.int64()),
             "b": pa.array([r[1] for r in rows], pa.int64()),
             "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_curate — the composed LLM-curation chain, mirrored end-to-end
+# ---------------------------------------------------------------------------
+
+def gopher_keep_py(text: str) -> bool:
+    """Mirror of textops.gopher_quality_rules' keep conjunction (same
+    length/replace stopword-count semantics as the SQL oracle)."""
+    import re
+
+    words = text.split(" ")
+    nw = len(words)
+    mwl = len(text) / nw
+    aw = sum(1 for w in words if re.search("[a-zA-Z]", w))
+    p = " " + text + " "
+    sh = sum(
+        (len(p) - len(p.replace(f" {w} ", ""))) // (len(w) + 2)
+        for w in ["the", "and", "of", "to", "in"]
+    )
+    return 20 <= nw <= 100_000 and 3.0 <= mwl <= 10.0 and aw / nw >= 0.8 and sh >= 2
+
+
+def pipeline_curate_fixture(docs) -> pa.Table:
+    """The full curation chain: gopher gates → minhash near-dup pairs →
+    connected components (union-find) → keepers + unpaired survivors →
+    token counts. Independent of every crawlspark expression."""
+    d = docs_with_dups(docs)
+    gated = [(i, t) for i, t in d if gopher_keep_py(t)]
+    pairs = minhash_pairs_py(gated, 0.8)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    paired = {x for a, b, _ in pairs for x in (a, b)}
+    rows = [
+        (i, len(t.split(" ")), -(-len(t) // 4))
+        for i, t in gated
+        if i not in paired or find(i) == i
+    ]
+    rows.sort()
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ws_tokens": pa.array([r[1] for r in rows], pa.int64()),
+            "bpe_est_tokens": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
 
@@ -336,6 +401,7 @@ def main() -> None:
         "ann_lsh": ann_lsh_fixture(embs),
         "embed_neardup": embed_neardup_fixture(embs),
         "fingerprint_winnow": winnow_fixture(docs),
+        "pipeline_curate": pipeline_curate_fixture(docs),
     }
     for name, tbl in tables.items():
         pq.write_table(tbl, OUT / f"{name}.parquet")

@@ -185,6 +185,53 @@ def main() -> None:
           ("query set broadcast", "BroadcastExchange" in p or "BroadcastNestedLoop" in p)])
     )
 
+    # 13. cuckoo build/probe (deletable seen filter): same per-bucket cogroup
+    #     shape as bloom — table never collected or broadcast
+    from crawlspark.seen import cuckoo_probe_routed, distributed_cuckoo_update
+
+    ck_df = distributed_cuckoo_update(hashes, None, 1 << 12, 4, 32)
+    p = fmt(ck_df)
+    checks = [("FlatMapCoGroupsInPandas operator", "FlatMapCoGroupsInPandas" in p)]
+    q = cuckoo_probe_routed(keys, ck_df, 32)
+    p2 = fmt(q)
+    checks += [
+        ("probe is a per-bucket cogroup", "FlatMapCoGroupsInPandas" in p2),
+        ("no broadcast of the fingerprint table", "BroadcastExchange" not in p2),
+    ]
+    sections.append(
+        ("Cuckoo filter (deletable seen prefilter): build + probe cogroups", p + "\n" + p2, checks)
+    )
+
+    # 14. pipeline_curate: the composed curation chain — final plan reads the
+    #     gated corpus from cache and cluster labels from the checkpoint; no
+    #     file scan is recomputed across stage boundaries
+    q = em.q_pipeline_curate(spark, SF)
+    p = fmt(q)
+    # ("Scan parquet" DOES appear in the formatted text — inside the
+    # InMemoryRelation's one-time cache-FILL plan, already executed during the
+    # clusters stage; the live operators are the cache scan + checkpoint RDD.
+    # Structural check: every parquet scan line is indented strictly deeper
+    # than the InMemoryRelation node, i.e. inside its fill subtree.)
+    tree = p.split("\n(1)")[0].splitlines()
+    rel_indent = min(
+        (len(l) - len(l.lstrip(" :+-"))) for l in tree if "InMemoryRelation" in l
+    )
+    scans_inside = all(
+        (len(l) - len(l.lstrip(" :+-"))) > rel_indent
+        for l in tree
+        if "Scan parquet" in l
+    )
+    sections.append(
+        ("pipeline_curate: composed gates→dedup→clusters→tokens, one connected plan", p,
+         [("survivor corpus read from cache (InMemoryTableScan)", "InMemoryTableScan" in p),
+          ("cluster labels read from the localCheckpoint RDD, not recomputed",
+           "ExistingRDD" in p),
+          ("every parquet scan sits inside the one-time cache-fill subtree",
+           scans_inside),
+          ("no cartesian anywhere", "CartesianProduct" not in p
+           and "BroadcastNestedLoop" not in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
