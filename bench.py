@@ -233,7 +233,7 @@ def run_crawl_scaling() -> dict:
     the bad window an unfair penalty (observed: the same 16-core job measured
     10.6k and 20.2k urls/s half an hour apart). A pair's legs run
     back-to-back under near-identical host conditions."""
-    pairs = int(os.environ.get("CRAWLSPARK_BENCH_PAIRS", "2"))
+    pairs = int(os.environ.get("CRAWLSPARK_BENCH_PAIRS", "3"))
     ensure_data(N_PAGES // 4)
     detail = []
     for _ in range(pairs):
@@ -254,15 +254,26 @@ def run_crawl_scaling() -> dict:
         )
     best = max(detail, key=lambda p: p["strong_eff"])
     best_weak = max(detail, key=lambda p: p["weak_eff"])
+
+    def median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        n = len(xs)
+        return round(xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2, 3)
+
     return {
         f"urls_per_sec_{SMALL}": best[SMALL]["urls_per_sec"],
         f"urls_per_sec_{BIG}": best[BIG]["urls_per_sec"],
         "scaling_efficiency": best["strong_eff"],
         f"weak_urls_per_sec_{SMALL}": best_weak[f"weak_{SMALL}"]["urls_per_sec"],
         "weak_scaling_efficiency": best_weak["weak_eff"],
+        # medians across pairs alongside the best pair: the best bounds the
+        # environment floor from below, the median shows the typical window
+        "median_strong_eff": median([p["strong_eff"] for p in detail]),
+        "median_weak_eff": median([p["weak_eff"] for p in detail]),
         "all_pairs": [
             {"strong_eff": p["strong_eff"], "weak_eff": p["weak_eff"]} for p in detail
         ],
+        "n_pairs": pairs,
         "n_pages": N_PAGES,
         "detail": detail,
     }
@@ -327,6 +338,12 @@ def write_baseline_md(crawl: dict, timings: dict[str, float]) -> None:
         f"**Weak-scaling efficiency (input ∝ cores, T_{big}@{N_PAGES} / "
         f"(4·T_{small}@{N_PAGES // 4})) = {crawl['weak_scaling_efficiency']}** "
         "(target ≥ 0.8, BASELINE.json:2)",
+        "",
+        f"Median across {crawl.get('n_pairs', '?')} pairs: strong "
+        f"{crawl.get('median_strong_eff', '?')}, weak "
+        f"{crawl.get('median_weak_eff', '?')} (best-pair numbers above bound "
+        "the environment floor from below; the median shows the typical "
+        "steal window).",
         "",
         f"Per-pair efficiencies (interleaved {small}↔{big}-core pairs, each "
         f"pair's legs back-to-back under near-identical host conditions; "

@@ -138,36 +138,48 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     docs_h = documents.select("doc_id", "text", F.md5("text").alias("_th"))
-    # `reps` and `sig` are PERSISTED: lazy subtrees are NOT reused across
-    # separate join branches, so unpersisted, every consumer re-ran the
-    # scan+md5+groupBy (and the signature pass) — measured as a 9 s → 25 s
-    # battery regression. `sig` keeps its `shingles` column so the
-    # exact-Jaccard verify joins read PRECOMPUTED shingle sets from cache
-    # instead of re-shingling both texts of every candidate pair (the
-    # verify's dominant cost). MEMORY_AND_DISK; this is the op's working set
-    # (unique texts / their shingle sets). No collect_list of member ids
-    # anywhere: a degenerate class (millions of identical pages) stays
-    # row-per-member, never one giant array row.
-    reps = (
-        docs_h.groupBy("_th")
-        .agg(
-            # texts within a class are identical, so any member's text works
-            F.min("doc_id").alias("doc_id"),
-            F.first("text").alias("text"),
-            F.count("*").alias("_n"),
-        )
+    # ONE persisted frame is the op's whole working set: the class
+    # representative (min doc_id per md5 class), class size, precomputed
+    # shingle set AND minhash signature — filled in a single job. (Round 3
+    # cached `reps` and `sig` separately: two sequential cache fills with an
+    # intermediate exchange cost ~1.3 s extra at sf0.1. Lazy subtrees are NOT
+    # reused across separate join branches, so WITHOUT the persist every
+    # consumer re-ran scan+md5+groupBy+signature — measured 9 s → 25 s.)
+    # MEMORY_AND_DISK; shingle sets ride along so the exact-Jaccard verify
+    # reads them from cache instead of re-shingling both texts per candidate
+    # pair. No collect_list of member ids anywhere: a degenerate class
+    # (millions of identical pages) stays row-per-member, never one giant
+    # array row.
+    reps = docs_h.groupBy("_th").agg(
+        # texts within a class are identical, so any member's text works
+        F.min("doc_id").alias("doc_id"),
+        F.first("text").alias("text"),
+        F.count("*").alias("_n"),
+    )
+    shift = (num_hashes - 1).bit_length() + 1
+    sh_expr = F.array_distinct(shingles_expr(F.col("text"), shingle_n))
+    acc0 = F.array(*[F.lit(0x7FFFFFFFFFFFFFFF).cast("long")] * num_hashes)
+
+    def fold(acc, s):
+        # same construction (and ANSI-safety proof) as minhash_signature
+        h1 = F.shiftrightunsigned(F.xxhash64(s), shift)
+        h2 = F.shiftrightunsigned(F.xxhash64(F.concat(F.lit("mh2|"), s)), shift)
+        return F.transform(acc, lambda m, i: F.least(m, h1 + i.cast("long") * h2))
+
+    rep_sig = (
+        reps.select("_th", "doc_id", "_n", sh_expr.alias("shingles"))
+        .withColumn("sig", F.aggregate("shingles", acc0, fold))
         .persist()
     )
     mem = docs_h.select("_th", "doc_id")
-    sig = minhash_signature(reps.select("doc_id", "text"), num_hashes, shingle_n).persist()
     if keep is not None:
-        keep.extend([reps, sig])
+        keep.append(rep_sig)
     # the banded frame carries ONLY (doc_id, band, bucket); candidate pairs
     # come from ONE groupBy per (band, bucket) with an in-bucket pair explode
     # (bucket populations are O(near-dup-group) by LSH construction) — no
     # self-join, so the signature projection is computed exactly once and
     # nothing needs persist()
-    banded = sig.select(
+    banded = rep_sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -190,16 +202,21 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     # (bucket_pairs' two branches each re-derive `banded` — a cheap explode
-    # over the cached `sig`)
+    # over the cached `rep_sig`)
 
-    pairs = bucket_pairs(banded, ["band", "bucket"], "doc_id")
+    # distinct=False: a rep pair sharing several band-buckets may surface
+    # more than once — the single dropDuplicates on the FINAL member pairs
+    # (needed anyway for the fused self-pair expansion below) covers it, one
+    # exchange instead of two. Verify work per duplicate is a cached-array
+    # intersect on an O(near-dups) frame — cheaper than the saved shuffle.
+    pairs = bucket_pairs(banded, ["band", "bucket"], "doc_id", distinct=False)
     # exact-Jaccard verification (no false positives in the output): the
-    # surviving REPRESENTATIVE pair ids join the cached sig frame for their
-    # precomputed shingle sets. No broadcast hint: the pair set is
+    # surviving REPRESENTATIVE pair ids join the cached rep_sig frame for
+    # their precomputed shingle sets. No broadcast hint: the pair set is
     # O(near-dups) — NOT broadcast-sized at 10^10 docs with realistic dup
     # rates — so these are plain keyed joins (AQE picks broadcast itself when
     # the set really is tiny).
-    sh = sig.select("doc_id", "shingles")
+    sh = rep_sig.select("doc_id", "shingles")
     cand = (
         pairs
         .join(sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa")), "a")
@@ -211,31 +228,36 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
-    # expand representative pairs to member pairs (classes are disjoint, so
-    # no pair is produced twice) and add the identical-class pairs directly
+    # In-class pairs ride the SAME two expansion joins as cross-class pairs:
+    # a class with >1 member contributes a self rep-pair (r, r, 1.0), whose
+    # (ma, mb) expansion enumerates exactly the class's unordered pairs
+    # (each twice — the final dropDuplicates collapses them). This replaces
+    # round 3's separate in-class self-join + union branch.
+    npairs = F.col("_n") * (F.col("_n") - 1) / 2
+    self_small = rep_sig.filter(
+        (F.col("_n") > 1)
+        & (F.lit(True) if max_class_pairs is None else npairs <= max_class_pairs)
+    ).select(
+        F.col("doc_id").alias("a"), F.col("doc_id").alias("b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    all_rep_pairs = rep_pairs.unionByName(self_small)
     rm = mem.select("_th", F.col("doc_id").alias("_m")).join(
-        reps.select("_th", F.col("doc_id").alias("_rep")), "_th"
+        rep_sig.select("_th", F.col("doc_id").alias("_rep")), "_th"
     ).select("_rep", "_m")
     expanded = (
-        rep_pairs
+        all_rep_pairs
         .join(rm.select(F.col("_rep").alias("a"), F.col("_m").alias("ma")), "a")
         .join(rm.select(F.col("_rep").alias("b"), F.col("_m").alias("mb")), "b")
+        .filter(F.col("ma") != F.col("mb"))
         .select(
             F.least("ma", "mb").alias("a"),
             F.greatest("ma", "mb").alias("b"),
             "jaccard",
         )
     )
-    if max_class_pairs is None:
-        ingroup = (
-            mem.select("_th", F.col("doc_id").alias("a"))
-            .join(mem.select("_th", F.col("doc_id").alias("b")), "_th")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b", F.lit(1.0).alias("jaccard"))
-        )
-    else:
-        npairs = F.col("_n") * (F.col("_n") - 1) / 2
-        capped = reps.filter(npairs > max_class_pairs)
+    if max_class_pairs is not None:
+        capped = rep_sig.filter(npairs > max_class_pairs)
         stats = capped.agg(
             F.count("*").alias("classes"),
             F.sum(npairs - (F.col("_n") - 1)).alias("elided"),
@@ -250,19 +272,10 @@ def minhash_lsh_pairs(
                 "output unaffected)",
                 stats["classes"], max_class_pairs, int(stats["elided"]),
             )
-        small = mem.join(
-            reps.filter(npairs <= max_class_pairs).select("_th"), "_th"
-        )
-        ingroup = (
-            small.select("_th", F.col("doc_id").alias("a"))
-            .join(small.select("_th", F.col("doc_id").alias("b")), "_th")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b", F.lit(1.0).alias("jaccard"))
-        ).unionByName(
-            # spanning star for capped classes: keeper (min id) → each member
-            mem.join(
-                capped.select("_th", F.col("doc_id").alias("_rep")), "_th"
-            )
+        # spanning star for capped classes: keeper (min id) → each member —
+        # n-1 rows, never through the quadratic self expansion
+        star = (
+            mem.join(capped.select("_th", F.col("doc_id").alias("_rep")), "_th")
             .filter(F.col("doc_id") != F.col("_rep"))
             .select(
                 F.col("_rep").alias("a"),
@@ -270,7 +283,8 @@ def minhash_lsh_pairs(
                 F.lit(1.0).alias("jaccard"),
             )
         )
-    return expanded.unionByName(ingroup)
+        expanded = expanded.unionByName(star)
+    return expanded.dropDuplicates(["a", "b"])
 
 
 def bucket_pairs(
@@ -278,8 +292,12 @@ def bucket_pairs(
     bucket_cols: list[str],
     id_col: str,
     max_bucket_size: int = 1024,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (a<b) of ids sharing a bucket — one shuffle.
+    (``distinct=False`` skips the final dedup exchange for callers that
+    deduplicate downstream anyway — a pair may then appear once per shared
+    bucket.)
 
     ``collect_list`` per bucket + in-bucket combination explode replaces the
     classic bucket self-join: same output, half the upstream compute (the
@@ -323,7 +341,8 @@ def bucket_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
     )
-    return small_pairs.unionByName(big_pairs).dropDuplicates(["a", "b"])
+    out = small_pairs.unionByName(big_pairs)
+    return out.dropDuplicates(["a", "b"]) if distinct else out
 
 
 def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
