@@ -17,9 +17,10 @@ Scale notes:
   bucket) with an in-bucket pair explode (bucket_pairs) — output
   ~O(duplicates), not O(n²), and no self-join so the signature subtree is
   evaluated once.
-* SimHash: bit votes via explode + 64 conditional sums — one shuffle on doc_id;
-  near-dup candidates bucket on 16-bit chunks (hamming ≤ 3 ⇒ one of 4 chunks
-  equal, pigeonhole), same bucket_pairs shape.
+* SimHash: shuffle-free — all 64 bit votes fold in one aggregate pass over
+  the token array (array accumulator, 1 xxhash64/token); near-dup candidates
+  bucket on 16-bit chunks (hamming ≤ 3 ⇒ one of 4 chunks equal, pigeonhole),
+  same bucket_pairs shape.
 * ANN: brute-force cosine is one broadcast of the query vector and a single
   pass (F.aggregate dot products) + TakeOrderedAndProject top-k (no global
   window); the LSH variant prunes candidates by sign-bit sketch first.
@@ -431,26 +432,50 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     )
 
 
-def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document, fully JVM-side: token explode → per-bit
-    vote sums → bit reassembly."""
-    toks = documents.select(
-        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+def _bit_masks():
+    # bit-i mask as a SIGNED long literal (bit 63 = Long.MIN_VALUE); bitwise
+    # AND/OR over two's-complement longs is mask semantics regardless of
+    # sign. (Function, not module constant: F.lit needs a live SparkContext.)
+    return F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
     )
-    sim = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseXOR(term)
-    return votes.select(id_col, sim.alias("simhash"))
+
+
+def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side and SHUFFLE-FREE: one
+    aggregate fold over the token array accumulates all 64 bit votes in an
+    array accumulator (1 xxhash64 per token via _bind_once — Spark gives HOF
+    columns no subexpression elimination), then the sign votes assemble into
+    the hash by OR-ing bit masks. Round 3 exploded tokens through a 64-sum
+    groupBy — a full shuffle of every token row (~100× the document count);
+    this is a pure projection with identical output (integer vote sums are
+    order-independent; same single-string xxhash64 the fixture oracle
+    mirrors)."""
+    toks = F.split(F.col(text_col), " ")
+    acc0 = F.array(*[F.lit(0).cast("long")] * 64)
+    masks = _bit_masks()
+
+    def fold(acc, t):
+        return _bind_once(
+            F.xxhash64(t),
+            lambda h: F.zip_with(
+                acc,
+                masks,
+                lambda v, m: v
+                + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+        )
+
+    votes = F.aggregate(toks, acc0, fold)
+    assemble = _bind_once(
+        votes,
+        lambda vs: F.aggregate(
+            F.zip_with(vs, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"),
+            lambda acc, m: acc.bitwiseOR(m),
+        ),
+    )
+    return documents.select(id_col, assemble.alias("simhash"))
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -473,12 +498,16 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("cc"),
     ).select("item", "cc.chunk", "cc.val")
-    pairs = bucket_pairs(chunks, ["chunk", "val"], "item")
+    # distinct deferred to the (much smaller) post-hamming-filter pair set:
+    # a pair sharing several equal chunks re-verifies a cached bit_count
+    # instead of paying a dedup exchange on the full candidate set
+    pairs = bucket_pairs(chunks, ["chunk", "val"], "item", distinct=False)
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), "hamming")
+        .dropDuplicates(["a", "b"])
     )
 
 
@@ -759,7 +788,10 @@ def embedding_near_dup_pairs(
     # re-run the 64-projection sketch pass. 20 bytes × bands per vector.
     if keep is not None:
         keep.append(banded)
-    pairs = bucket_pairs(banded, ["band", "sketch"], "vec_id")
+    # distinct deferred to the post-cosine-verify set (same trade as
+    # minhash/simhash: re-verifying a multi-band candidate is cheaper than a
+    # dedup exchange over the full candidate set)
+    pairs = bucket_pairs(banded, ["band", "sketch"], "vec_id", distinct=False)
     vecs = embeddings.select("vec_id", "embedding")
     # no broadcast hint: the pair set is O(near-dups) — gigabytes at 10^10
     # vectors with realistic dup rates — so these are plain keyed joins on the
@@ -770,7 +802,7 @@ def embedding_near_dup_pairs(
         .join(vecs.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb")), "b")
     )
     cos = cosine_expr(F.col("ea"), F.col("eb"))
-    return cand.filter(cos >= threshold).select("a", "b")
+    return cand.filter(cos >= threshold).select("a", "b").dropDuplicates(["a", "b"])
 
 
 # ---------------------------------------------------------------------------
