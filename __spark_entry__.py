@@ -417,6 +417,15 @@ def q_ann_lsh(spark, sf):
     return ann_lsh_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10, planes=6)
 
 
+def q_ann_ivf(spark, sf):
+    # IVF ANN: deterministic coarse quantizer (centroids = vec_id < nlist),
+    # posting-list assignment as a pure projection, nprobe multi-probe +
+    # exact cosine re-rank (textops.ann_ivf_topk)
+    from crawlspark.textops import ann_ivf_topk
+
+    return ann_ivf_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
 def q_embed_neardup(spark, sf):
     from crawlspark.textops import embedding_near_dup_pairs
 
@@ -569,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "ann_knn_join": q_ann_knn_join,
         "pipeline_curate": q_pipeline_curate,
@@ -870,6 +880,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh": f"""
             SELECT vec_id, rank FROM read_parquet('{_FIXTURES}/ann_lsh.parquet')
+        """,
+        "ann_ivf": f"""
+            SELECT vec_id, rank FROM read_parquet('{_FIXTURES}/ann_ivf.parquet')
         """,
         "embed_neardup": f"""
             SELECT a, b FROM read_parquet('{_FIXTURES}/embed_neardup.parquet')

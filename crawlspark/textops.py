@@ -695,6 +695,89 @@ def ann_lsh_topk(
     return _rank_topk(scored, k, keep)
 
 
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    keep: list | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the corpus is coarse-quantized into ``nlist``
+    posting lists (nearest centroid by cosine), the query probes its
+    ``nprobe`` nearest lists, and exact cosine re-ranks inside them — the
+    classic IVF structure (public: Sivic & Zisserman 2003 'Video Google';
+    FAISS IVF family), complementing the sign-LSH variant.
+
+    Centroids are the embeddings of ``vec_id < nlist`` — a DETERMINISTIC
+    coarse quantizer (no trained model, no distributed-sum nondeterminism),
+    collected once as a driver-side dim (nlist rows — robots-table-sized)
+    and inlined as literals, so list assignment is a PURE PROJECTION: no
+    shuffle, no join, whole-stage codegen. A production deployment swaps in
+    k-means centroids; every plan shape below is unchanged.
+
+    Scale shape (10^10 vectors): ``list_id`` is the corpus partition key, so
+    a query's candidate read touches only ~nprobe/nlist of the data
+    (partition pruning on the broadcast probe join); scoring + top-k reuse
+    the no-global-window _rank_topk. Expected recall follows the probed
+    mass; exact on corpora whose near neighbors share the query's coarse
+    cell (pinned by test_ann_ivf_recall).
+    """
+    cent_rows = (
+        embeddings.filter(F.col("vec_id") < nlist)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in cent_rows}
+
+    def cent_lit(c: int):
+        # float literals: float×float products keep cosine_expr's exact f32
+        # semantics, which the pure-Python fixture mirror reproduces
+        return F.array(*[F.lit(x) for x in cents[c]]).cast("array<float>")
+
+    def cell_scores(vec):
+        return F.array(
+            *[
+                F.struct(cosine_expr(vec, cent_lit(c)).alias("cos"), F.lit(c).alias("c"))
+                for c in sorted(cents)
+            ]
+        )
+
+    # deterministic argmax (strict >: first-listed centroid wins cosine ties)
+    def assign_expr(vec):
+        best = F.aggregate(
+            cell_scores(vec),
+            F.struct(F.lit(-2.0).alias("cos"), F.lit(-1).alias("c")),
+            lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+        )
+        return best["c"]
+
+    assigned = embeddings.select(
+        "vec_id", "embedding", assign_expr(F.col("embedding")).alias("list_id")
+    )
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    # the query's nprobe nearest lists, in-frame (no driver collect of the
+    # query vector): sort cells asc by (cos, c), reverse, take nprobe
+    probes = (
+        q.select(
+            "qvec",
+            F.explode(
+                F.slice(F.reverse(F.array_sort(cell_scores(F.col("qvec")))), 1, nprobe)
+            ).alias("p"),
+        )
+        .select("qvec", F.col("p.c").alias("list_id"))
+    )
+    cand = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    scored = cand.select(
+        "vec_id", cosine_expr(F.col("embedding"), F.col("qvec")).alias("cos")
+    )
+    return _rank_topk(scored, k, keep)
+
+
 def ann_knn_join_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Exact batch k-NN join: top-k cosine neighbors in ``corpus`` for EVERY
     query vector — the all-queries generalization of ann_bruteforce_topk.

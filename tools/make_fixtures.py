@@ -367,6 +367,39 @@ def ann_lsh_fixture(embs) -> pa.Table:
     )
 
 
+def ann_ivf_fixture(embs) -> pa.Table:
+    """Mirror of textops.ann_ivf_topk: centroids = vec_id < nlist, strict->
+    argmax assignment, (cos, c)-sorted reversed nprobe probe, exact cosine
+    re-rank (same f32-product / f64-fold semantics via cosine())."""
+    nlist, nprobe, k, qid = 16, 4, 10, 0
+    vecs = dict(embs)
+    cents = {c: vecs[c] for c in range(nlist)}
+
+    def assign(v):
+        best = (-2.0, -1)
+        for c in sorted(cents):
+            cs = cosine(v, cents[c])
+            if cs > best[0]:
+                best = (cs, c)
+        return best[1]
+
+    qscores = sorted((cosine(vecs[qid], cents[c]), c) for c in cents)
+    probe_set = {c for _, c in list(reversed(qscores))[:nprobe]}
+    cand = [
+        (cosine(v, vecs[qid]), vid)
+        for vid, v in embs
+        if vid != qid and assign(v) in probe_set
+    ]
+    cand.sort(key=lambda t: (-t[0], t[1]))
+    top = cand[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array([vid for _, vid in top], pa.int64()),
+            "rank": pa.array(list(range(1, len(top) + 1)), pa.int32()),
+        }
+    )
+
+
 def embed_neardup_fixture(embs) -> pa.Table:
     bands, ppb, thr = 4, 16, 0.999
     d = embs + [(vid + 1000000, vec) for vid, vec in embs if vid % 25 == 0]
@@ -399,6 +432,7 @@ def main() -> None:
         "dedup_minhash": minhash_fixture(docs),
         "dedup_simhash": simhash_fixture(docs),
         "ann_lsh": ann_lsh_fixture(embs),
+        "ann_ivf": ann_ivf_fixture(embs),
         "embed_neardup": embed_neardup_fixture(embs),
         "fingerprint_winnow": winnow_fixture(docs),
         "pipeline_curate": pipeline_curate_fixture(docs),
