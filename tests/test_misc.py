@@ -243,3 +243,77 @@ def test_streaming_discovery_matches_batch_eligibility(spark, tmp_path):
         for r in wh_b.read_appends(spark, "crawl_log").filter("round = 0").collect()
     }
     assert stream_urls == batch_urls
+
+
+def test_robots_parser(spark):
+    """robots.txt parser: comments, blank lines, empty Disallow, other-UA
+    sections, ':' inside values, delay parsing, budget derivation."""
+    from crawlspark.robots import parse_robots_txt, robots_rules_table
+
+    body = (
+        "# comment line\nUser-agent: *\nDisallow: /p/9\n"
+        "Disallow:    /admin   # trailing comment\nCrawl-delay: 2.5\n"
+        "Disallow:\n\nUser-agent: OtherBot\nDisallow: /secret\n"
+    )
+    rows = [
+        ("h1", body),
+        ("h2", "User-agent: googlebot\nDisallow: /only-google\n"),
+        ("h3", "Disallow: /before-any-ua\nUser-agent: *\nDisallow: /a:b/c\n"),
+        ("h4", ""),
+        ("h5", "User-agent: MyBot\nDisallow: /mine\nCrawl-delay: nonsense\n"),
+    ]
+    df = spark.createDataFrame(rows, ["host", "body"])
+    got = {r["host"]: r for r in parse_robots_txt(df).collect()}
+    assert list(got["h1"]["disallow_prefixes"]) == ["/p/9", "/admin"]
+    assert got["h1"]["crawl_delay_s"] == 2.5
+    assert list(got["h2"]["disallow_prefixes"]) == []  # wrong UA for '*' query
+    assert list(got["h3"]["disallow_prefixes"]) == ["/a:b/c"]  # pre-UA line ignored
+    assert list(got["h4"]["disallow_prefixes"]) == []
+    # agent-specific query matches its own section; bad delay ignored
+    mine = {r["host"]: r for r in parse_robots_txt(df, user_agent="mybot").collect()}
+    assert list(mine["h5"]["disallow_prefixes"]) == ["/mine"]
+    assert mine["h5"]["crawl_delay_s"] is None
+    rules = {r["host"]: r for r in robots_rules_table(parse_robots_txt(df)).collect()}
+    assert rules["h1"]["max_per_round"] == 24   # 60 / 2.5
+    assert rules["h2"]["max_per_round"] == 8    # default
+
+
+def test_robots_parser_feeds_crawler(spark, tmp_path):
+    """End-to-end wiring: parsed robots.txt rules drive the crawl loop —
+    the disallowed prefix is enforced (robots_blocked counts match)."""
+    from crawlspark import schemas, synth
+    from crawlspark.robots import parse_robots_txt, robots_rules_table
+    from crawlspark.scheduler import Crawler
+    from crawlspark.settings import Settings
+    from crawlspark.warehouse import Warehouse
+
+    n, n_hosts = 40, 5
+    pages = spark.createDataFrame(
+        [synth.page_row(i, n_hosts) for i in range(n)], schemas.PAGES
+    )
+    frontier = spark.createDataFrame(synth.frontier_rows(n, n_hosts), schemas.FRONTIER)
+    # raw robots bodies reproducing synth.robots_rows' semantics
+    raw = spark.createDataFrame(
+        [
+            (r["host"],
+             "User-agent: *\n"
+             + "".join(f"Disallow: {p}\n" for p in (r["disallow_prefixes"] or []))
+             + (f"Crawl-delay: {60 / r['max_per_round']}\n" if r["max_per_round"] else ""))
+            for r in synth.robots_rows(n_hosts)
+        ],
+        ["host", "body"],
+    )
+    robots = robots_rules_table(parse_robots_txt(raw))
+    wh = Warehouse(tmp_path / "whRB")
+    crawler = Crawler(
+        spark, Settings.new(), wh, synth.golden_fields(), pages, robots, frontier
+    )
+    results = crawler.run()
+    # reference enforcement: same blocked count as the structured-robots run
+    wh2 = Warehouse(tmp_path / "whRB2")
+    robots2 = spark.createDataFrame(synth.robots_rows(n_hosts), schemas.ROBOTS)
+    results2 = Crawler(
+        spark, Settings.new(), wh2, synth.golden_fields(), pages, robots2, frontier
+    ).run()
+    assert sum(r.robots_blocked for r in results) == sum(r.robots_blocked for r in results2)
+    assert [r.fetched for r in results] == [r.fetched for r in results2]

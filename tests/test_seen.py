@@ -262,3 +262,16 @@ def test_split_new_vs_seen_cuckoo(spark):
         for r in split_new_vs_seen(batch, seen, ck_df, bloom_buckets=4).collect()
     }
     assert out == out2
+
+
+def test_cuckoo_overfull_raises():
+    """An over-capacity cuckoo bucket fails loudly (resize guidance), never
+    silently drops a key (which would corrupt seen-set routing)."""
+    import pytest
+
+    from crawlspark.seen import PartitionedCuckoo
+
+    ck = PartitionedCuckoo(2, 2, 1, max_kicks=50)  # 4 slots total
+    hs = (np.arange(40, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)).view(np.int64)
+    with pytest.raises(RuntimeError, match="full"):
+        ck.add(hs)
