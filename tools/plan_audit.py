@@ -232,6 +232,42 @@ def main() -> None:
            and "BroadcastNestedLoop" not in p)])
     )
 
+    # 15. IVF ANN: posting-list assignment is a pure projection (no shuffle,
+    #     no join, no Python); the probe side is a broadcast
+    from crawlspark.textops import ann_ivf_topk
+
+    q = ann_ivf_topk(emb, query_vec_id=0, k=10)
+    p = fmt(q)
+    sections.append(
+        ("IVF ANN: projection-only list assignment, broadcast probe", p,
+         [("no Python/Arrow operator", "MapInPandas" not in p and "ArrowEval" not in p
+           and "BatchEvalPython" not in p),
+          ("candidate join is a broadcast HASH join on list_id",
+           "BroadcastHashJoin" in p),
+          # the only nested-loop allowed is _rank_topk's k-row rank self-join
+          # (inequality condition over the cached top-k — k² with k<=10, by
+          # design); a Cross BNLJ or CartesianProduct would mean the corpus
+          # itself went through an unkeyed join
+          ("no cartesian / no cross nested-loop over the corpus",
+           "CartesianProduct" not in p
+           and "BroadcastNestedLoopJoin Cross" not in p)])
+    )
+
+    # 16. robots.txt parse: one Catalyst fold per body — single projection
+    from crawlspark.robots import parse_robots_txt
+
+    bodies = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /a\nCrawl-delay: 2\n")], ["host", "body"]
+    )
+    q = parse_robots_txt(bodies)
+    p = fmt(q)
+    sections.append(
+        ("robots.txt parse: one codegen'd fold per body", p,
+         [("no Python/Arrow operator", "MapInPandas" not in p and "ArrowEval" not in p
+           and "BatchEvalPython" not in p),
+          ("no exchange (pure projection)", "Exchange" not in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
