@@ -723,32 +723,59 @@ def ann_ivf_topk(
     mass; exact on corpora whose near neighbors share the query's coarse
     cell (pinned by test_ann_ivf_recall).
     """
+    import math
+
     cent_rows = (
         embeddings.filter(F.col("vec_id") < nlist)
         .select("vec_id", "embedding")
         .collect()
     )
     cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in cent_rows}
-
-    def cent_lit(c: int):
-        # float literals: float×float products keep cosine_expr's exact f32
-        # semantics, which the pure-Python fixture mirror reproduces
-        return F.array(*[F.lit(x) for x in cents[c]]).cast("array<float>")
+    cent_ids = sorted(cents)
+    dims = len(cents[cent_ids[0]])
+    # centroid norms are driver-side literals — the fixture mirror computes
+    # them with the SAME python expression, so the division is bit-identical
+    cnorm = {c: math.sqrt(sum(x * x for x in cents[c])) for c in cent_ids}
 
     def cell_scores(vec):
-        return F.array(
-            *[
-                F.struct(cosine_expr(vec, cent_lit(c)).alias("cos"), F.lit(c).alias("c"))
-                for c in sorted(cents)
-            ]
+        # all nlist dot products in ONE aggregate pass over the vector with a
+        # dim×cell literal matrix (the _projections_expr idiom — per-centroid
+        # cosine_expr calls re-ran the |v| norm fold nlist times per row).
+        # Cell ranking only needs a per-row monotone transform of cosine, so
+        # score = dot/|centroid| and |v| never enters. f64 products
+        # (float value auto-widened × double literal), mirrored exactly by
+        # plain python float arithmetic in tools/make_fixtures.py.
+        w_matrix = F.array(
+            *[F.array(*[F.lit(cents[c][i]) for c in cent_ids]) for i in range(dims)]
+        )
+        indexed = F.transform(vec, lambda v, i: F.struct(v.alias("v"), i.alias("i")))
+        acc0 = F.array(*[F.lit(0.0)] * len(cent_ids))
+        dots = F.aggregate(
+            indexed,
+            acc0,
+            lambda acc, d: F.zip_with(
+                acc, F.element_at(w_matrix, d["i"] + 1), lambda a, w: a + d["v"] * w
+            ),
+        )
+        return _bind_once(
+            dots,
+            lambda ds: F.array(
+                *[
+                    F.struct(
+                        (F.element_at(ds, j + 1) / F.lit(cnorm[c])).alias("score"),
+                        F.lit(c).alias("c"),
+                    )
+                    for j, c in enumerate(cent_ids)
+                ]
+            ),
         )
 
-    # deterministic argmax (strict >: first-listed centroid wins cosine ties)
+    # deterministic argmax (strict >: first-listed centroid wins score ties)
     def assign_expr(vec):
         best = F.aggregate(
             cell_scores(vec),
-            F.struct(F.lit(-2.0).alias("cos"), F.lit(-1).alias("c")),
-            lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+            F.struct(F.lit(float("-inf")).alias("score"), F.lit(-1).alias("c")),
+            lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
         )
         return best["c"]
 

@@ -368,22 +368,31 @@ def ann_lsh_fixture(embs) -> pa.Table:
 
 
 def ann_ivf_fixture(embs) -> pa.Table:
-    """Mirror of textops.ann_ivf_topk: centroids = vec_id < nlist, strict->
-    argmax assignment, (cos, c)-sorted reversed nprobe probe, exact cosine
-    re-rank (same f32-product / f64-fold semantics via cosine())."""
+    """Mirror of textops.ann_ivf_topk: centroids = vec_id < nlist, cell
+    score = f64 dot / driver-computed centroid norm (the same python
+    expression the implementation inlines as a literal), strict-> argmax
+    assignment, (score, c)-sorted reversed nprobe probe, exact cosine
+    re-rank (f32-product / f64-fold semantics via cosine())."""
     nlist, nprobe, k, qid = 16, 4, 10, 0
     vecs = dict(embs)
     cents = {c: vecs[c] for c in range(nlist)}
+    cnorm = {c: math.sqrt(sum(x * x for x in cents[c])) for c in cents}
+
+    def cell_score(v, c):
+        dot = 0.0
+        for x, w in zip(v, cents[c]):
+            dot += x * w
+        return dot / cnorm[c]
 
     def assign(v):
-        best = (-2.0, -1)
+        best = (float("-inf"), -1)
         for c in sorted(cents):
-            cs = cosine(v, cents[c])
-            if cs > best[0]:
-                best = (cs, c)
+            s = cell_score(v, c)
+            if s > best[0]:
+                best = (s, c)
         return best[1]
 
-    qscores = sorted((cosine(vecs[qid], cents[c]), c) for c in cents)
+    qscores = sorted((cell_score(vecs[qid], c), c) for c in cents)
     probe_set = {c for _, c in list(reversed(qscores))[:nprobe]}
     cand = [
         (cosine(v, vecs[qid]), vid)
