@@ -556,6 +556,18 @@ def q_multimodal_png(spark, sf):
     )
 
 
+def q_multimodal_wav(spark, sf):
+    # REAL audio branch: deterministic PCM-WAV payloads (pure-stdlib RIFF
+    # encoder, executor-side, integer waveform = closed form of doc_id)
+    # parsed by the pure-stdlib WAV decoder — rate/length/duration AND the
+    # RMS (exact f64 arithmetic over integer samples) all have ANSI-SQL
+    # closed forms
+    from crawlspark.multimodal import decode_audio_features, synth_wav_payloads
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return decode_audio_features(synth_wav_payloads(d))
+
+
 def q_multimodal_frames(spark, sf):
     from crawlspark.multimodal import documents_as_binary, frame_sample
 
@@ -619,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": q_fingerprint_winnow,
         "multimodal_image": q_multimodal_image,
         "multimodal_png": q_multimodal_png,
+        "multimodal_wav": q_multimodal_wav,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_gif": q_multimodal_gif,
     }
@@ -952,6 +965,25 @@ def oracle_sql() -> dict[str, str]:
                    'L' AS mode,
                    'real-png' AS decoder
             FROM documents WHERE doc_id < 200
+        """,
+        # real-WAV roundtrip: rate = 8000*(1+id%3), n = 64+id%129, sample j =
+        # ((id*31 + j*j) % 20001) - 10000; rms = sqrt(sum(x^2)/n) — integer
+        # sums are exact in f64 on both engines, so sqrt agrees bit-for-bit
+        "multimodal_wav": """
+            SELECT doc_id,
+                   CAST(8000 * (1 + doc_id % 3) AS int) AS sample_rate,
+                   CAST(1 AS int) AS channels,
+                   CAST(n AS bigint) AS n_samples,
+                   CAST(n * 1000 // (8000 * (1 + doc_id % 3)) AS bigint) AS duration_ms,
+                   sqrt(ss / n) AS rms,
+                   'real-wav' AS decoder
+            FROM (
+              SELECT doc_id, 64 + doc_id % 129 AS n,
+                     (SELECT sum(CAST(((doc_id * 31 + j * j) % 20001) - 10000 AS double) *
+                                 CAST(((doc_id * 31 + j * j) % 20001) - 10000 AS double))
+                      FROM unnest(generate_series(0, 64 + doc_id % 129 - 1)) AS t(j)) AS ss
+              FROM documents WHERE doc_id < 200
+            )
         """,
         "multimodal_frames": """
             SELECT doc_id, CAST(fi AS int) AS frame_index,

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -373,6 +374,132 @@ def gif_encode_frames(width: int, height: int, frames: list[bytes]) -> bytes:
         out += bytes([7]) + _gif_subblocks(_gif_lzw_uncompressed(px))
     out += b"\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# pure-stdlib PCM WAV codec (public spec: RIFF/WAVE, Microsoft/IBM 1991)
+# ---------------------------------------------------------------------------
+
+
+def wav_encode_pcm16(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal mono 16-bit PCM WAV encoder (RIFF + fmt + data chunks).
+    Standard-conformant output; used to synthesize deterministic audio
+    payloads for the real decode branch's oracle corpus."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def wav_decode(blob: bytes) -> tuple[int, int, int, bytes]:
+    """(sample_rate, channels, bits_per_sample, raw data bytes) from a
+    RIFF/WAVE container (PCM). Walks chunks per spec (odd-size padding
+    honored); raises ValueError on anything malformed — callers treat that
+    as "not a WAV" and fall back to the stub."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    rate = ch = bits = None
+    data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        ln = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        body = blob[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if cid == b"fmt ":
+            if ln < 16:
+                raise ValueError("short fmt chunk")
+            fmt_tag, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt_tag != 1:
+                raise ValueError("non-PCM WAV")
+        elif cid == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, ch, bits, data
+
+
+AUDIO_META = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("decoder", StringType()),  # 'real-wav' | 'stub'
+    ]
+)
+
+
+def decode_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, payload binary) → AUDIO_META rows. Same layered contract as
+    the image decoder: RIFF/WAVE-sniffed payloads take the REAL pure-stdlib
+    PCM parse (sample rate / channels / duration from the container, RMS
+    over the samples in float64 — decoder='real-wav'); anything else falls
+    back to the length-defined stub (sample_rate 8000, n_samples = payload
+    length, rms from byte values)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(blob) if blob is not None else b""
+                row = None
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    try:
+                        rate, ch, bits, data = wav_decode(b)
+                        x = np.frombuffer(
+                            data[: len(data) - (len(data) % 2)], dtype="<i2"
+                        ).astype(np.float64)
+                        n = len(x) // ch if ch else 0
+                        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                        row = dict(
+                            doc_id=int(doc_id), sample_rate=int(rate),
+                            channels=int(ch), n_samples=int(n),
+                            duration_ms=int(n * 1000 // rate) if rate else 0,
+                            rms=rms, decoder="real-wav",
+                        )
+                    except ValueError:
+                        row = None
+                if row is None:
+                    n = len(b)
+                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                    rms = float(np.sqrt(np.mean(arr * arr))) if n else 0.0
+                    row = dict(
+                        doc_id=int(doc_id), sample_rate=8000, channels=1,
+                        n_samples=n, duration_ms=n * 1000 // 8000,
+                        rms=rms, decoder="stub",
+                    )
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_META.fields])
+
+    return df.select("doc_id", payload_col).mapInPandas(run, schema=AUDIO_META)
+
+
+def synth_wav_payloads(documents: DataFrame) -> DataFrame:
+    """Deterministic real-WAV payload per doc: sample rate, length and the
+    integer waveform are closed forms of doc_id (pure integer arithmetic, so
+    the decoded features have an exact ANSI-SQL oracle). Executor-side."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                rate = 8000 * (1 + i % 3)
+                n = 64 + i % 129
+                samples = [((i * 31 + j * j) % 20001) - 10000 for j in range(n)]
+                payloads.append(wav_encode_pcm16(rate, samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(run, schema="doc_id long, payload binary")
 
 
 FRAME_META = StructType(

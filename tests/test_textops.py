@@ -527,3 +527,45 @@ def test_ann_ivf_probe_fraction(spark):
     # k=60 asks for everything retrievable: fewer than the full corpus comes
     # back because unprobed lists are never scored
     assert 0 < len(got) < 59
+
+
+def test_wav_codec_roundtrip():
+    """Pure-stdlib WAV codec: encode → decode identity; malformed raises."""
+    import struct as _struct
+
+    import pytest
+
+    from crawlspark.multimodal import wav_decode, wav_encode_pcm16
+
+    samples = [((j * 37) % 9001) - 4500 for j in range(200)]
+    blob = wav_encode_pcm16(16000, samples)
+    rate, ch, bits, data = wav_decode(blob)
+    assert (rate, ch, bits) == (16000, 1, 16)
+    assert list(_struct.unpack(f"<{len(samples)}h", data)) == samples
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        wav_decode(b"plainly not audio")
+
+
+def test_multimodal_wav_real_branch(spark):
+    """decode_audio_features takes the real-wav branch on WAV payloads and
+    the stub on garbage — per row, same batch."""
+    import math
+
+    from crawlspark.multimodal import decode_audio_features, wav_encode_pcm16
+
+    samples = [100, -100, 100, -100]
+    blob = wav_encode_pcm16(8000, samples)
+    rows = [(1, bytearray(blob)), (2, bytearray(b"not audio at all"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_audio_features(df).collect()}
+    assert got[1]["decoder"] == "real-wav"
+    assert (got[1]["sample_rate"], got[1]["channels"], got[1]["n_samples"]) == (8000, 1, 4)
+    assert got[1]["rms"] == 100.0
+    assert got[2]["decoder"] == "stub"
+    assert got[2]["n_samples"] == len(b"not audio at all")
+    assert math.isclose(
+        got[2]["rms"],
+        (sum(b * b for b in b"not audio at all") / len(b"not audio at all")) ** 0.5,
+    )
