@@ -104,3 +104,55 @@ def test_committed_files_sorted(spark, tmp_path):
     for p in parts:
         keys = pq.read_table(p, columns=["surrogate_key"])["surrogate_key"].to_pylist()
         assert keys == sorted(keys)
+
+
+def test_concurrent_commits_serialize(tmp_path):
+    """Committers racing on the manifest must not lose each other's updates
+    (round-3 ADVICE): same-round racers resolve to exactly ONE winner, and
+    concurrent stream_epoch registrations for different checkpoints are all
+    recorded (the flock'd read-modify-write serializes them)."""
+    import threading
+
+    import pyarrow as pa
+
+    from crawlspark.warehouse import Warehouse
+
+    wh = Warehouse(tmp_path / "wh")
+    results, errs = [], []
+
+    def commit_same_round():
+        try:
+            results.append(
+                Warehouse(tmp_path / "wh").commit_round(
+                    1, local_appends={"t": pa.table({"x": [1]})}
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=commit_same_round) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert results.count(True) == 1 and results.count(False) == 5
+    m = wh.manifest()
+    assert m["tables"]["t"]["rounds"] == [1] and m["last_round"] == 1
+
+    def register(key):
+        try:
+            Warehouse(tmp_path / "wh").stream_epoch(key, query_id=f"q-{key}")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=register, args=(f"ck{i}",)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    epochs = wh.manifest()["stream_epochs"]
+    # no registration lost to a concurrent read-modify-write
+    assert sorted(epochs) == [f"ck{i}" for i in range(8)]
+    assert all(epochs[k]["epoch"] == 1 for k in epochs)
