@@ -315,6 +315,30 @@ def q_crawl_robots_filter(spark, sf):
     return d.filter(~path.startswith("/p/9")).select("doc_id", path.alias("path"))
 
 
+def q_crawl_link_extract(spark, sf):
+    # outlink discovery (canonical.extract_links_expr): href scrape + the
+    # documented RFC-3986 resolution subset over synthesized html — the
+    # canonical targets are closed forms of doc_id
+    from crawlspark.canonical import extract_links_expr
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><a href="https://HOST'), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit('.EXAMPLE.ORG:443/x/../p/'), (F.col("doc_id") + 1).cast("string"),
+        F.lit('#frag">n</a><a href="/rel/'), did,
+        F.lit('">r</a><a href="mailto:a@b">skip</a></html>'),
+    )
+    base = F.concat(
+        F.lit("https://host"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".example.org/index.html"),
+    )
+    return d.select(
+        "doc_id",
+        F.explode(extract_links_expr(F.encode(html, "UTF-8"), base)).alias("link"),
+    )
+
+
 def q_crawl_robots_parse(spark, sf):
     # raw robots.txt bodies → enforced rules (crawlspark.robots): bodies are
     # deterministic functions of doc_id, so the PARSED output has a closed
@@ -611,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_canonicalize": q_crawl_canonicalize,
         "crawl_robots_filter": q_crawl_robots_filter,
         "crawl_robots_parse": q_crawl_robots_parse,
+        "crawl_link_extract": q_crawl_link_extract,
         "extraction_units": q_extraction_units,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -794,6 +819,16 @@ def oracle_sql() -> dict[str, str]:
         "crawl_robots_filter": """
             SELECT doc_id, '/p/' || doc_id AS path FROM documents
             WHERE NOT starts_with('/p/' || doc_id, '/p/9')
+        """,
+        "crawl_link_extract": """
+            SELECT doc_id,
+                   'https://host' || (doc_id % 7) || '.example.org/p/' || (doc_id + 1)
+                   AS link
+            FROM documents WHERE doc_id < 1000
+            UNION ALL
+            SELECT doc_id,
+                   'https://host' || (doc_id % 7) || '.example.org/rel/' || doc_id
+            FROM documents WHERE doc_id < 1000
         """,
         "crawl_robots_parse": """
             SELECT 'host' || doc_id AS host, p AS prefix,

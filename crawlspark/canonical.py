@@ -262,3 +262,33 @@ def xxhash64_py(s: str, seed: int = 42) -> int:
     h ^= h >> 32
     # Spark returns a signed long
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def extract_links_expr(html: Column, base_url: Column) -> Column:
+    """Array of canonical outlink URLs from an html payload — the frontier's
+    DISCOVERY edge (the reference crawls a curated seed list and discovers
+    nothing, src/main.rs:154-267; a Common-Crawl-style frontier grows from
+    fetched pages, so the engine offers this as an opt-in operator).
+
+    JVM-side end to end: binary→UTF-8 cast, one ``regexp_extract_all`` over
+    ``href="…"`` attributes, then per-link RFC-3986 reference resolution for
+    the documented subset — absolute http(s) links pass through the
+    canonicalizer; root-relative links (``/path``) resolve against the base
+    url's scheme+authority; everything else (relative segments, mailto:,
+    javascript:, fragments) is dropped. Output is distinct and
+    fragment-free; invalid UTF-8 payload bytes decode lossily and simply
+    fail the href pattern (one corrupt page never fails a task).
+    """
+    s = html.cast("string")
+    hrefs = F.regexp_extract_all(s, F.lit('href="([^"]+)"'), 1)
+    base_auth = F.regexp_extract(F.lower(base_url), r"^(https?://[^/?#]+)", 1)
+    resolved = F.transform(
+        hrefs,
+        lambda h: F.when(
+            h.rlike("(?i)^https?://"), canonicalize_expr(h)
+        ).when(
+            h.startswith("/") & (base_auth != ""),
+            canonicalize_expr(F.concat(base_auth, h)),
+        ),
+    )
+    return F.array_distinct(F.filter(resolved, lambda x: x.isNotNull()))

@@ -662,6 +662,34 @@ class Crawler:
             .select(*ENRICHED_COLS)
         )
         new_frontier = deferred.unionByName(retried_rows)
+        if s.discover_links:
+            # opt-in frontier growth: outlinks of this round's fetched pages
+            # become next-round candidates (next round's seen/dup machinery
+            # filters re-discoveries exactly — no pre-filter needed here).
+            # NOTE: this re-reads the fetched payloads (a second pass of the
+            # fetch join); a production deployment fuses href extraction into
+            # the extraction UDF's single payload pass — kept separate here
+            # so the parity-critical default path stays byte-identical.
+            from .canonical import extract_links_expr
+
+            discovered = (
+                enrich(
+                    feed.select(
+                        F.explode(
+                            extract_links_expr(F.col("html"), F.col("curl"))
+                        ).alias("url")
+                    )
+                    .withColumn("host", F.lit(None).cast("string"))
+                    .withColumn("priority", F.lit(s.discovered_priority).cast("int"))
+                    .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+                    .withColumn("provider", F.lit("discovered"))
+                    .withColumn("discovered_round", F.lit(round_).cast("int"))
+                    .withColumn("retries", F.lit(0).cast("int"))
+                )
+                .withColumn("host", F.col("chost"))
+                .select(*ENRICHED_COLS)
+            )
+            new_frontier = new_frontier.unionByName(discovered)
         new_seen_all = seen.unionByName(new_seen)
 
         # update the prefilter with this round's new hashes — EXECUTOR-side
@@ -696,7 +724,8 @@ class Crawler:
                 "units": units.sortWithinPartitions("surrogate_key"),
             },
             local_appends={"metrics": metrics_tbl},
-            stats_cols={"datasets": ["surrogate_key"], "units": ["surrogate_key"]},
+            stats_cols={"datasets": ["surrogate_key"], "units": ["surrogate_key"],
+                        "frontier": []},
         )
 
         tm.lap("commit")
@@ -712,6 +741,15 @@ class Crawler:
         frontier2 = self.wh.read_state(sp, "frontier", schemas.FRONTIER)
         seen2 = self.wh.read_state(sp, "seen", schemas.SEEN)
 
+        if s.discover_links:
+            # discovered rows ride the committed frontier snapshot; its
+            # parquet-footer row count (already in the manifest — no extra
+            # job) is the exact frontier size including discoveries
+            frontier_left = self.wh.manifest()["tables"]["frontier"]["stats"][
+                str(round_)
+            ]["rows"]
+        else:
+            frontier_left = n_deferred + n_retried
         rr = RoundResult(
             round=round_,
             fetched=n_fetched,
@@ -722,6 +760,6 @@ class Crawler:
             new_urls=n_fetched,
             datasets=n_datasets,
             units=n_units,
-            frontier_left=n_deferred + n_retried,
+            frontier_left=frontier_left,
         )
         return rr, frontier2, seen2, bloom, next_key + n_fetched

@@ -65,6 +65,12 @@ class CrawlSettings:
     seen_filter: str = "bloom"
     cuckoo_entries: int = 1 << 14   # cuckoo buckets per hash-range partition
     cuckoo_slots: int = 4           # fingerprints per cuckoo bucket
+    # opt-in frontier growth: extract outlinks from fetched pages and enqueue
+    # them (canonical.extract_links_expr). Default OFF — the reference crawls
+    # a fixed seed list, and the crawl-order/seen-set parity oracle
+    # (tests/oracle_sim.py) models exactly that
+    discover_links: bool = False
+    discovered_priority: int = 1    # priority for discovered urls (seed = 0)
 
 
 @dataclass

@@ -211,7 +211,7 @@ class Warehouse:
             if round_ not in t["rounds"]:
                 t["rounds"].append(round_)
             cols = (stats_cols or {}).get(name)
-            if cols:
+            if cols is not None:  # [] = row count only (from footers)
                 t.setdefault("stats", {})[str(round_)] = self._footer_stats(final, cols)
         m["last_round"] = round_
         self._write_manifest(m)

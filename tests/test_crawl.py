@@ -226,3 +226,38 @@ def test_evict_recrawl(spark, synth_dfs, tmp_path, overrides):
     # fresh keys continue from the current max (first-seen-wins is per-life)
     max_kept = max(v for u, v in seen_before.items() if u not in victims)
     assert all(seen_after[u] > max_kept for u in victims)
+
+
+def test_discovery_crawl_follows_links(spark, tmp_path):
+    """Opt-in frontier growth: seed ONE url; each fetched page links to the
+    next (and the last links BACK to the first — the cycle must terminate
+    via the seen set). The crawl follows the chain across rounds."""
+    import datetime
+
+    urls = [f"https://site.example/p/{i}" for i in range(4)]
+    ts = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            (u, ts, bytearray(f'<a href="{urls[(i + 1) % len(urls)]}">next</a>'.encode()),
+             None, None)
+            for i, u in enumerate(urls)
+        ],
+        schemas.PAGES,
+    )
+    frontier = spark.createDataFrame(
+        [(urls[0], "site.example", 0, ts, "seed", 0, 0)], schemas.FRONTIER
+    )
+    robots = spark.createDataFrame([], schemas.ROBOTS)
+    settings = Settings.new(
+        overrides={"crawl": {"discover_links": True, "max_retries": 0}}
+    )
+    wh = Warehouse(tmp_path / "whD")
+    results = Crawler(
+        spark, settings, wh, synth.golden_fields(), pages, robots, frontier
+    ).run()
+    assert sum(r.fetched for r in results) == len(urls)      # whole chain crawled
+    assert results[-1].frontier_left == 0                    # cycle terminated
+    log, seen, _ = collect_state(spark, wh)
+    assert set(seen) == set(urls)
+    # one url per round, in chain order (each link discovered the next round)
+    assert [u for _, _, u in log] == urls
