@@ -402,6 +402,25 @@ def q_dedup_exact(spark, sf):
     return exact_dedup_groups(d.unionByName(dups)).orderBy("keep_doc_id")
 
 
+def q_line_dedup(spark, sf):
+    # corpus-level line dedup (C4 §2.2 / RefinedWeb line-wise): a corpus
+    # where each doc carries unique body lines plus injected shared
+    # boilerplate lines; the op must strip exactly the boilerplate and
+    # reassemble the unique lines in order. Body lines are made provably
+    # unique by prefixing doc_id, so the expected output is a closed form.
+    from crawlspark.textops import line_dedup
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    did = F.col("doc_id").cast("string")
+    a = F.concat(did, F.lit(":"), F.substring("text", 1, 40))
+    b = F.concat(did, F.lit("~"), F.substring("text", 41, 40))
+    text = F.concat(
+        a, F.lit(". THIS SITE USES COOKIES. "), b,
+        F.when(F.col("doc_id") % 2 == 0, F.lit(". SHARED FOOTER NAVIGATION")).otherwise(F.lit("")),
+    )
+    return line_dedup(d.select("doc_id", text.alias("text"))).orderBy("doc_id")
+
+
 def q_dedup_minhash(spark, sf):
     from crawlspark.textops import minhash_lsh_pairs
 
@@ -638,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_link_extract": q_crawl_link_extract,
         "extraction_units": q_extraction_units,
         "dedup_exact": q_dedup_exact,
+        "line_dedup": q_line_dedup,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -836,6 +856,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(60.0 / (1 + doc_id % 5)) AS int) AS max_per_round
             FROM documents, unnest(['/p/9', '/admin' || doc_id]) AS t(p)
             WHERE doc_id < 500
+        """,
+        # closed form: body lines are doc_id-prefixed (provably unique ⇒
+        # always kept, in order); the two injected boilerplate lines are
+        # shared corpus-wide ⇒ always removed. Raw texts contain no '. '
+        # (checked), so the line structure is exactly as constructed.
+        "line_dedup": """
+            SELECT doc_id,
+                   doc_id || ':' || substr(text, 1, 40) || '. ' ||
+                   doc_id || '~' || substr(text, 41, 40) AS text,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS bigint) AS n_lines,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS bigint) AS n_removed
+            FROM documents WHERE doc_id < 2000
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

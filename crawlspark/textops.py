@@ -447,6 +447,66 @@ def _bit_masks():
     )
 
 
+def line_dedup(
+    documents: DataFrame, sep: str = ". ", min_docs: int = 2
+) -> DataFrame:
+    """Corpus-level line/sentence deduplication (public pipeline step: C4's
+    line filtering, Raffel et al. 2020 §2.2; RefinedWeb's line-wise dedup,
+    Penedo et al. 2023): a line occurring in ≥ ``min_docs`` DISTINCT
+    documents is boilerplate (cookie banners, navigation, footers) and is
+    removed from EVERY document; surviving lines are re-assembled in their
+    original order. Returns (doc_id, text, n_lines, n_removed) — a document
+    that was pure boilerplate comes back with empty text, not dropped
+    (curation pipelines filter on n_removed/n_lines downstream).
+
+    Scale shape: one explode + one md5-keyed aggregation find the
+    boilerplate set (map-side combinable; the shuffle carries (hash,
+    doc_id)); the removal is an anti-join on the hash; re-assembly is a
+    per-document sort_array over collected (pos, line) structs — grouped by
+    doc_id, so no global window and no skew beyond a single document's line
+    count. The boilerplate set is O(distinct repeated lines); it is NOT
+    broadcast-hinted (web boilerplate sets are huge at 10^10 docs — AQE
+    broadcasts when genuinely small)."""
+    import re as _re
+
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), _re.escape(sep))).alias("pos", "line"),
+    ).withColumn("_lh", F.md5("line"))
+    boiler = (
+        lines.groupBy("_lh")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_lh")
+    )
+    kept = lines.join(boiler, "_lh", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), _re.escape(sep))).cast("long").alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document, fully JVM-side and SHUFFLE-FREE: one
     aggregate fold over the token array accumulates all 64 bit votes in an

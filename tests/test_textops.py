@@ -569,3 +569,28 @@ def test_multimodal_wav_real_branch(spark):
         got[2]["rms"],
         (sum(b * b for b in b"not audio at all") / len(b"not audio at all")) ** 0.5,
     )
+
+
+def test_line_dedup(spark):
+    """Corpus-level boilerplate-line removal: ordering preserved, threshold
+    respected, all-boilerplate docs come back empty (not dropped)."""
+    from crawlspark.textops import line_dedup
+
+    rows = [
+        (1, "unique one. COOKIE NOTICE. body of one. FOOTER"),
+        (2, "COOKIE NOTICE. unique two. FOOTER"),
+        (3, "only in doc three. also only here"),
+        (4, "COOKIE NOTICE"),                   # pure boilerplate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in line_dedup(df, min_docs=2).collect()}
+    assert got[1]["text"] == "unique one. body of one"
+    assert (got[1]["n_lines"], got[1]["n_removed"]) == (4, 2)
+    assert got[2]["text"] == "unique two"
+    assert got[3]["text"] == rows[2][1] and got[3]["n_removed"] == 0
+    assert got[4]["text"] == "" and got[4]["n_removed"] == 1
+    # threshold: min_docs=3 keeps FOOTER (2 docs) but still strips COOKIE (3)
+    got3 = {r["doc_id"]: r for r in line_dedup(df, min_docs=3).collect()}
+    assert got3[1]["text"] == "unique one. body of one. FOOTER"
+    assert got3[2]["text"] == "unique two. FOOTER"
+    assert got3[4]["text"] == ""
