@@ -497,6 +497,19 @@ def q_ann_ivf(spark, sf):
     return ann_ivf_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def q_ann_ivf_kmeans(spark, sf):
+    # IVF ANN with the TRAINED coarse quantizer: deterministic driver-side
+    # Lloyd k-means on the vec_id < 256 sample (textops.kmeans_centroids),
+    # then the same pure-projection assignment / nprobe probe / exact cosine
+    # re-rank as ann_ivf. Oracle: bit-identical pure-Python mirror fixture
+    # (tools/make_fixtures.py ann_ivf_kmeans_fixture).
+    from crawlspark.textops import ann_ivf_topk
+
+    return ann_ivf_topk(
+        _t(spark, sf, "embeddings"), query_vec_id=0, k=10, quantizer="kmeans"
+    )
+
+
 def q_embed_neardup(spark, sf):
     from crawlspark.textops import embedding_near_dup_pairs
 
@@ -629,6 +642,19 @@ def q_multimodal_gif(spark, sf):
     return frame_sample(synth_gif_payloads(d))
 
 
+def q_multimodal_avi(spark, sf):
+    # REAL RIFF/AVI frame-splitter branch (round-4 verdict #5 — a second
+    # real container so the stub is reserved for genuinely unknown bytes):
+    # deterministic AVI payloads (pure-stdlib encoder, executor-side) walked
+    # by the pure-stdlib movi-chunk parser — the oracle checks per-frame
+    # chunk spans, avih dimensions and the sampling stride as closed forms
+    # of doc_id (crawlspark.multimodal.avi_frames / synth_avi_payloads)
+    from crawlspark.multimodal import frame_sample, synth_avi_payloads
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return frame_sample(synth_avi_payloads(d))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s01_filter_pushdown": q_s01_filter_pushdown,
@@ -665,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "embed_neardup": q_embed_neardup,
         "ann_knn_join": q_ann_knn_join,
         "pipeline_curate": q_pipeline_curate,
@@ -679,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav": q_multimodal_wav,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_gif": q_multimodal_gif,
+        "multimodal_avi": q_multimodal_avi,
     }
 
 
@@ -1000,6 +1028,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": f"""
             SELECT vec_id, rank FROM read_parquet('{_FIXTURES}/ann_ivf.parquet')
         """,
+        "ann_ivf_kmeans": f"""
+            SELECT vec_id, rank FROM read_parquet('{_FIXTURES}/ann_ivf_kmeans.parquet')
+        """,
         "embed_neardup": f"""
             SELECT a, b FROM read_parquet('{_FIXTURES}/embed_neardup.parquet')
         """,
@@ -1069,6 +1100,20 @@ def oracle_sql() -> dict[str, str]:
         # bytes + terminator), with L = npix + (npix-1)//110 clears + clear +
         # end — all closed forms of the encode parameters (see
         # crawlspark/multimodal.py gif_encode_frames / _gif_lzw_uncompressed)
+        "multimodal_avi": """
+            SELECT doc_id, CAST(fi AS int) AS frame_index,
+                   CAST(w * h AS bigint) AS frame_bytes,
+                   CAST(w AS int) AS width, CAST(h AS int) AS height,
+                   'real-avi' AS splitter
+            FROM (
+              SELECT doc_id, w, h,
+                     unnest(generate_series(0, doc_id % 6, 2)) AS fi
+              FROM (
+                SELECT doc_id, 1 + doc_id % 32 AS w, 1 + (doc_id // 32) % 32 AS h
+                FROM documents WHERE doc_id < 200
+              )
+            )
+        """,
         "multimodal_gif": """
             SELECT doc_id, CAST(fi AS int) AS frame_index,
                    CAST(12 + L + (L + 254) // 255 AS bigint) AS frame_bytes,

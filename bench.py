@@ -7,7 +7,13 @@ Prints ONE JSON line:
    "crawl": {"urls_per_sec_8": ..., "urls_per_sec_32": ...,
              "scaling_efficiency": ...}}
 
-Two parts:
+Two parts, battery FIRST (a budget overrun must only ever cost scaling
+pairs), and a complete JSON snapshot line is flushed after the battery and
+after every scaling pair — the driver reads the last parseable line, so a
+timeout at any point still leaves numbers (round-4 lesson: rc=124 left
+`parsed: null`). The scaling campaign is budget-aware via
+$CRAWLSPARK_BENCH_BUDGET_SEC (default 2100 s wall-clock for the whole bench).
+
 1. Crawl throughput (the BASELINE.json metric "URLs fetched+deduped/sec"):
    the bulk crawl job over a deterministic synthetic frontier, run in separate
    subprocesses at N and 4N cores (default 4 vs 16; each worker CPU-pinned to
@@ -199,6 +205,20 @@ def crawl_worker(cpus: int, n_pages: int | None = None) -> None:
     spark.stop()
 
 
+def _proc_stat_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu line —
+    per-leg hypervisor-steal evidence for the scaling campaign (round-4
+    verdict #3: annotate each leg with measured interference)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _run_worker(cpus: int, n_pages: int) -> dict:
     env = dict(os.environ)
     # memory scales WITH cores (1.5 GiB per core): the N vs 4N comparison
@@ -206,6 +226,7 @@ def _run_worker(cpus: int, n_pages: int) -> dict:
     # memory slice — giving both configs the same heap would hand the small
     # cluster 4x the per-core memory of the big one
     env.setdefault("CRAWLSPARK_DRIVER_MEM", f"{max(6, round(1.5 * cpus))}g")
+    st0 = _proc_stat_ticks()
     p = subprocess.run(
         [sys.executable, __file__, "--crawl-worker", str(cpus), "--pages", str(n_pages)],
         capture_output=True,
@@ -214,44 +235,20 @@ def _run_worker(cpus: int, n_pages: int) -> dict:
         env=env,
         timeout=3600,
     )
+    st1 = _proc_stat_ticks()
     line = [ln for ln in p.stdout.splitlines() if ln.startswith("BENCH_WORKER ")]
     if not line:
         sys.stderr.write(p.stdout[-4000:] + "\n" + p.stderr[-4000:] + "\n")
         raise RuntimeError(f"crawl worker {cpus} produced no result")
-    return json.loads(line[-1][len("BENCH_WORKER "):])
-
-
-def run_crawl_scaling() -> dict:
-    """STRONG scaling (same input at N and 4N cores) + WEAK scaling (input
-    scaled with cores — the regime a 10^10-frontier cluster actually runs:
-    more executors crawl a proportionally larger frontier per round).
-
-    The two configs are run in INTERLEAVED pairs (small, big, weak-small;
-    then again), and efficiency is scored per pair, best pair reported: the
-    host's hypervisor-steal noise varies on a ~10-minute timescale, so
-    running all small legs then all big legs hands whichever config ran in
-    the bad window an unfair penalty (observed: the same 16-core job measured
-    10.6k and 20.2k urls/s half an hour apart). A pair's legs run
-    back-to-back under near-identical host conditions."""
-    pairs = int(os.environ.get("CRAWLSPARK_BENCH_PAIRS", "3"))
-    ensure_data(N_PAGES // 4)
-    detail = []
-    for _ in range(pairs):
-        small = _run_worker(SMALL, N_PAGES)
-        big = _run_worker(BIG, N_PAGES)
-        weak_small = _run_worker(SMALL, N_PAGES // 4)
-        t_s, t_b, t_w = (
-            small["urls_per_sec"], big["urls_per_sec"], weak_small["urls_per_sec"]
+    out = json.loads(line[-1][len("BENCH_WORKER "):])
+    if st0 and st1 and st1[1] > st0[1]:
+        out["host_steal_pct"] = round(
+            100.0 * (st1[0] - st0[0]) / (st1[1] - st0[1]), 2
         )
-        detail.append(
-            {
-                "strong_eff": round((t_b / t_s) / (BIG / SMALL), 3),
-                "weak_eff": round(t_b / (t_w * (BIG / SMALL)), 3),
-                SMALL: small,
-                BIG: big,
-                f"weak_{SMALL}": weak_small,
-            }
-        )
+    return out
+
+
+def _summarize_pairs(detail: list[dict], pairs_done: int) -> dict:
     best = max(detail, key=lambda p: p["strong_eff"])
     best_weak = max(detail, key=lambda p: p["weak_eff"])
 
@@ -271,12 +268,77 @@ def run_crawl_scaling() -> dict:
         "median_strong_eff": median([p["strong_eff"] for p in detail]),
         "median_weak_eff": median([p["weak_eff"] for p in detail]),
         "all_pairs": [
-            {"strong_eff": p["strong_eff"], "weak_eff": p["weak_eff"]} for p in detail
+            {
+                "strong_eff": p["strong_eff"],
+                "weak_eff": p["weak_eff"],
+                "leg_steal_pct": p.get("leg_steal_pct"),
+            }
+            for p in detail
         ],
-        "n_pairs": pairs,
+        "n_pairs": pairs_done,
         "n_pages": N_PAGES,
         "detail": detail,
     }
+
+
+def run_crawl_scaling(deadline: float | None = None, on_pair=None) -> dict:
+    """STRONG scaling (same input at N and 4N cores) + WEAK scaling (input
+    scaled with cores — the regime a 10^10-frontier cluster actually runs:
+    more executors crawl a proportionally larger frontier per round).
+
+    The two configs are run in INTERLEAVED pairs (small, big, weak-small;
+    then again), and efficiency is scored per pair, best pair reported: the
+    host's hypervisor-steal noise varies on a ~10-minute timescale, so
+    running all small legs then all big legs hands whichever config ran in
+    the bad window an unfair penalty (observed: the same 16-core job measured
+    10.6k and 20.2k urls/s half an hour apart). A pair's legs run
+    back-to-back under near-identical host conditions.
+
+    BUDGET-AWARE (round-4 fix: the driver bench must terminate inside its
+    time budget — BENCH_r04.json was rc=124): the first pair always runs;
+    each further pair runs only if its projected duration (the measured
+    previous-pair wall-clock × 1.15) fits before ``deadline``. ``on_pair`` is
+    called with the partial summary after every pair so the caller can flush
+    a best-effort JSON snapshot — a timeout mid-campaign still leaves the
+    last snapshot on stdout."""
+    pairs = int(os.environ.get("CRAWLSPARK_BENCH_PAIRS", "2"))
+    ensure_data(N_PAGES // 4)
+    detail = []
+    for i in range(pairs):
+        pair_t0 = time.time()
+        if detail and deadline is not None:
+            est = detail[-1]["pair_sec"] * 1.15
+            if pair_t0 + est > deadline:
+                sys.stderr.write(
+                    f"bench: skipping pair {i + 1}/{pairs} — projected "
+                    f"{est:.0f}s does not fit the remaining "
+                    f"{deadline - pair_t0:.0f}s budget\n"
+                )
+                break
+        small = _run_worker(SMALL, N_PAGES)
+        big = _run_worker(BIG, N_PAGES)
+        weak_small = _run_worker(SMALL, N_PAGES // 4)
+        t_s, t_b, t_w = (
+            small["urls_per_sec"], big["urls_per_sec"], weak_small["urls_per_sec"]
+        )
+        detail.append(
+            {
+                "strong_eff": round((t_b / t_s) / (BIG / SMALL), 3),
+                "weak_eff": round(t_b / (t_w * (BIG / SMALL)), 3),
+                "pair_sec": round(time.time() - pair_t0, 1),
+                "leg_steal_pct": {
+                    f"strong_{SMALL}": small.get("host_steal_pct"),
+                    f"strong_{BIG}": big.get("host_steal_pct"),
+                    f"weak_{SMALL}": weak_small.get("host_steal_pct"),
+                },
+                SMALL: small,
+                BIG: big,
+                f"weak_{SMALL}": weak_small,
+            }
+        )
+        if on_pair is not None:
+            on_pair(_summarize_pairs(detail, len(detail)))
+    return _summarize_pairs(detail, len(detail))
 
 
 def run_queries() -> dict[str, float]:
@@ -349,18 +411,33 @@ def write_baseline_md(crawl: dict, timings: dict[str, float]) -> None:
         f"pair's legs back-to-back under near-identical host conditions; "
         f"best pair reported above): {json.dumps(crawl.get('all_pairs', []))}",
         "",
-        "### Round-4 campaign evidence (5 interleaved pairs, preserved)",
-        "",
-        "A dedicated 5-pair campaign under this same pinned methodology",
-        "(2026-08-17, `BENCH/campaign_r4_pairs5.json`; full analysis in the",
-        "repo-root `BASELINE.md` round-4 notes) measured per-pair",
-        "(strong, weak) efficiencies: (0.609, 0.607), (0.677, 0.792),",
-        "(0.461, 0.585), (0.697, 0.973), (0.628, 0.724) — **best weak 0.973",
-        "≥ 0.8 (bar cleared); medians 0.628 strong / 0.724 weak**; the",
-        "16-core leg peaked at 20,716 urls/s. The numbers above this section",
-        "are whatever the most recent regeneration measured and sit inside",
-        "the same dispersion envelope.",
-        "",
+    ]
+    # historical campaign evidence is read from its artifact at generation
+    # time, never hard-coded (round-4 advice: a baked-in dated claim would
+    # assert a past bar regardless of what the current measurement shows)
+    camp_path = BENCH_DIR / "campaign_r4_pairs5.json"
+    if camp_path.exists():
+        try:
+            camp = json.loads(camp_path.read_text())
+            camp = camp.get("crawl", camp)
+            cp = camp.get("all_pairs") or camp.get("pairs") or []
+            effs = [(p["strong_eff"], p["weak_eff"]) for p in cp]
+            lines += [
+                "### Round-4 campaign evidence (from "
+                "`BENCH/campaign_r4_pairs5.json`, read at generation time)",
+                "",
+                f"A dedicated {len(effs)}-pair campaign under this same pinned",
+                "methodology measured per-pair (strong, weak) efficiencies:",
+                f"{effs}; best weak {max(w for _, w in effs)}, medians",
+                f"strong {camp.get('median_strong_eff', '?')} / weak "
+                f"{camp.get('median_weak_eff', '?')}. Full analysis in the",
+                "repo-root `BASELINE.md` round-4 notes. The numbers above this",
+                "section are whatever the most recent regeneration measured.",
+                "",
+            ]
+        except (ValueError, KeyError) as e:
+            lines += [f"(campaign artifact unreadable: {e})", ""]
+    lines += [
         "### Methodology (executor-faithful proxy)",
         "",
         "Each worker models a cluster of `cores` identical executors: it is",
@@ -416,29 +493,15 @@ def write_baseline_md(crawl: dict, timings: dict[str, float]) -> None:
     (BENCH_DIR / "BASELINE.md").write_text("\n".join(lines) + "\n")
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--crawl-worker", type=int, default=None)
-    ap.add_argument("--pages", type=int, default=None)
-    ap.add_argument("--skip-scaling", action="store_true")
-    ap.add_argument("--skip-queries", action="store_true")
-    args = ap.parse_args()
-
-    if args.crawl_worker:
-        crawl_worker(args.crawl_worker, args.pages)
-        return
-
-    ensure_data()
-    crawl = {} if args.skip_scaling else run_crawl_scaling()
-    timings = {} if args.skip_queries else run_queries()
+def _emit(crawl: dict, timings: dict[str, float], partial: bool = False) -> None:
+    """Print one complete JSON result line. Called after the battery, after
+    EVERY scaling pair, and at the end — the driver reads the LAST parseable
+    line, so a timeout at any point still leaves the best-available numbers
+    on stdout (round-4 fix: rc=124 produced `parsed: null`)."""
     if crawl:
-        write_baseline_md(crawl, timings)
-
-    if crawl:
-        best_big = min(p[BIG]["elapsed_sec"] for p in crawl["detail"])
-        headline = best_big
+        headline = min(p[BIG]["elapsed_sec"] for p in crawl["detail"])
     else:
-        headline = sum(t for t in timings.values() if t > 0)
+        headline = round(sum(t for t in timings.values() if t and t > 0), 3)
     out = {
         "metric": f"bulk-crawl wall-clock at local[{BIG}] (URLs fetched+deduped/sec in 'crawl')",
         "value": headline,
@@ -456,7 +519,61 @@ def main() -> None:
             "hypervisor_steal_above_24way_demand": "20-40%",
             "identical_code_16core_range_urls_per_sec": [14700, 20700],
         }
-    print(json.dumps(out))
+    if partial:
+        out["partial"] = True
+    print(json.dumps(out), flush=True)
+
+
+def main() -> None:
+    import signal
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crawl-worker", type=int, default=None)
+    ap.add_argument("--pages", type=int, default=None)
+    ap.add_argument("--skip-scaling", action="store_true")
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    if args.crawl_worker:
+        crawl_worker(args.crawl_worker, args.pages)
+        return
+
+    # wall-clock budget for the WHOLE bench (battery + scaling campaign).
+    # Round 4 overran the driver's timeout by raising the campaign to 3
+    # pairs; the campaign now stops adding pairs when the projected pair
+    # duration no longer fits before the deadline.
+    budget = float(os.environ.get("CRAWLSPARK_BENCH_BUDGET_SEC", "2100"))
+    deadline = time.time() + budget
+    state: dict = {"crawl": {}, "timings": {}}
+
+    def on_term(signum, frame):
+        # driver timeout sends SIGTERM before SIGKILL: flush the latest
+        # snapshot so even a hard overrun leaves a parseable result line
+        _emit(state["crawl"], state["timings"], partial=True)
+        sys.exit(143)
+
+    signal.signal(signal.SIGTERM, on_term)
+
+    # query battery FIRST: it is the cheap, high-information half — a budget
+    # overrun must only ever cost scaling pairs, never the battery
+    timings = {} if args.skip_queries else run_queries()
+    state["timings"] = timings
+    _emit({}, timings, partial=not args.skip_scaling)
+
+    if not args.skip_scaling:
+        ensure_data()
+
+        def on_pair(partial_crawl: dict) -> None:
+            state["crawl"] = partial_crawl
+            _emit(partial_crawl, timings, partial=True)
+
+        crawl = run_crawl_scaling(deadline=deadline, on_pair=on_pair)
+        state["crawl"] = crawl
+        write_baseline_md(crawl, timings)
+    else:
+        crawl = {}
+
+    _emit(crawl, timings)
 
 
 if __name__ == "__main__":

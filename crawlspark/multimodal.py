@@ -502,6 +502,84 @@ def synth_wav_payloads(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(run, schema="doc_id long, payload binary")
 
 
+# ---------------------------------------------------------------------------
+# pure-stdlib AVI container walker (public spec: RIFF/AVI, Microsoft 1992 —
+# the same RIFF chunk grammar the WAV codec above already walks)
+# ---------------------------------------------------------------------------
+
+_HEXDIGITS = b"0123456789ABCDEFabcdef"
+
+
+def avi_frames(blob: bytes) -> list[tuple[int, int, int, int, int]]:
+    """Walk a RIFF/AVI container and return one (frame_index, byte_offset,
+    byte_length, width, height) tuple per video frame chunk — a REAL frame
+    split: frame boundaries come from the ``movi`` list's ``##db``/``##dc``
+    chunks and dimensions from the ``avih`` main header, no codec decode
+    needed. byte_length is the chunk's DATA span (the bytes a per-frame
+    decoder would consume). Raises ValueError on malformed input — callers
+    treat that as "not an AVI" and fall back to the stub splitter."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    width = height = None
+    raw: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height
+        while pos + 8 <= end:
+            cid = blob[pos:pos + 4]
+            ln = int.from_bytes(blob[pos + 4:pos + 8], "little")
+            body = pos + 8
+            if body + ln > len(blob):
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                if ln < 4:
+                    raise ValueError("short LIST chunk")
+                walk(body + 4, body + ln)
+            elif cid == b"avih":
+                if ln < 40:
+                    raise ValueError("short avih header")
+                width = int.from_bytes(blob[body + 32:body + 36], "little")
+                height = int.from_bytes(blob[body + 36:body + 40], "little")
+            elif (cid[2:4] in (b"db", b"dc")
+                  and cid[0] in _HEXDIGITS and cid[1] in _HEXDIGITS):
+                raw.append((body, ln))
+            pos = body + ln + (ln & 1)  # chunks are word-aligned
+
+    walk(12, len(blob))
+    if not raw:
+        raise ValueError("AVI with no video frame chunks")
+    return [(fi, off, ln, width, height) for fi, (off, ln) in enumerate(raw)]
+
+
+def avi_encode_frames(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Minimal RIFF/AVI encoder (one 8-bit DIB video stream, one ``00db``
+    chunk per frame). Deterministic; synthesizes real multi-frame containers
+    for the walker's roundtrip oracle — the exact counterpart of
+    gif_encode_frames."""
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        40_000, 0, 0, 0x10, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25,
+                                        0, len(frames), 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+                       width * height, 0, 0, 256, 0)
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 FRAME_META = StructType(
     [
         StructField("doc_id", LongType()),
@@ -518,10 +596,12 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", every_n: int = 2) 
     """Video/animation frame sampling: one row per sampled frame.
 
     Layered like the image decoder: GIF-sniffed payloads take the REAL
-    container walk (gif_frames — frame boundaries, byte spans and dimensions
-    from the GIF structure itself, splitter='real-gif'); anything else falls
-    back to the fixed-16-byte-chunk stub (splitter='stub', width/height
-    null). A real deployment adds pyav/ffmpeg for MP4/WebM inside the same
+    GIF container walk (gif_frames, splitter='real-gif'); RIFF/AVI-sniffed
+    payloads take the REAL AVI chunk walk (avi_frames — movi ##db/##dc
+    chunk spans + avih dimensions, splitter='real-avi'); anything else
+    falls back to the fixed-16-byte-chunk stub (splitter='stub',
+    width/height null), now reserved for genuinely unknown byte containers.
+    A real deployment adds pyav/ffmpeg for MP4/WebM inside the same
     mapInPandas; the Spark-side plumbing (schema, Arrow batching, sampling
     stride) is identical."""
 
@@ -539,6 +619,15 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", every_n: int = 2) 
                         continue
                     except ValueError:
                         pass  # malformed GIF → stub splitter
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    try:
+                        for fi, _off, ln, w, h in avi_frames(b)[::every_n]:
+                            out.append(dict(doc_id=int(doc_id), frame_index=fi,
+                                            frame_bytes=ln, width=w, height=h,
+                                            splitter="real-avi"))
+                        continue
+                    except ValueError:
+                        pass  # malformed AVI → stub splitter
                 n_frames = max(1, len(b) // 16)
                 for fi in range(0, n_frames, every_n):
                     chunk = b[fi * 16: (fi + 1) * 16]
@@ -569,6 +658,31 @@ def synth_gif_payloads(documents: DataFrame, limit_px: int = 16) -> DataFrame:
                     for f in range(nf)
                 ]
                 payloads.append(gif_encode_frames(w, h, frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def synth_avi_payloads(documents: DataFrame, limit_px: int = 32) -> DataFrame:
+    """Deterministic real AVI payload per doc: dimensions, frame count and
+    per-frame byte length are closed forms of doc_id (frame f is a w*h
+    gradient buffer), so the walker's output has an exact ANSI-SQL oracle.
+    Executor-side (mapInPandas), like synth_gif_payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w = 1 + i % limit_px
+                h = 1 + (i // limit_px) % limit_px
+                nf = 1 + i % 6
+                frames = [
+                    bytes((i + f * 11 + k) % 251 for k in range(w * h))
+                    for f in range(nf)
+                ]
+                payloads.append(avi_encode_frames(w, h, frames))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return documents.select("doc_id").mapInPandas(run, schema="doc_id long, payload binary")

@@ -8,7 +8,12 @@ ingestion edge from raw `robots.txt` payloads (fetched like any page) to
 (original 1994 REP + RFC 9309 basics) for the subset the scheduler enforces:
 
 * ``User-agent:`` lines select whether the following record applies — exact
-  match on the agent token or ``*``;
+  match on the agent token or ``*``. Per RFC 9309 §2.2.1, CONSECUTIVE
+  ``User-agent`` lines form ONE record (a group's rules apply if ANY of its
+  start-group agent lines matches); a ``User-agent`` line appearing after
+  rule lines starts a NEW record. Comments and blank lines are transparent
+  to grouping (RFC 9309 drops them before parsing, unlike the 1994 REP's
+  blank-line record separator);
 * ``Disallow:`` with a non-empty value contributes a path prefix (empty
   value = allow-all, contributes nothing);
 * ``Crawl-delay:`` (non-standard but ubiquitous) keeps the LAST applicable
@@ -36,15 +41,22 @@ def parse_robots_txt(
 ) -> DataFrame:
     """(host, body) → (host, disallow_prefixes, crawl_delay_s).
 
-    A record applies when its most recent ``User-agent`` line is ``*`` or
-    equals ``user_agent`` (case-insensitive agent match). Bodies with no
-    applicable record yield an empty prefix array and NULL delay.
+    A record applies when ANY ``User-agent`` line in its start group is ``*``
+    or equals ``user_agent`` (case-insensitive agent match): RFC 9309 §2.2.1
+    groups consecutive ``User-agent`` lines into one record, so
+    ``User-agent: *\\nUser-agent: OtherBot\\nDisallow: /x`` disallows ``/x``
+    for BOTH agents. A ``User-agent`` line after rule lines starts a fresh
+    record (its match REPLACES the accumulator state rather than OR-ing).
+    Comments, blank lines, and colon-less garbage lines are transparent: they
+    neither close a start group nor change state. Bodies with no applicable
+    record yield an empty prefix array and NULL delay.
     """
     ua = user_agent.lower()
     lines = F.split(F.col(body_col), "\n")
 
     acc0 = F.struct(
         F.lit(False).alias("active"),
+        F.lit(False).alias("in_ua_group"),
         F.array().cast("array<string>").alias("prefixes"),
         F.lit(None).cast("double").alias("delay"),
     )
@@ -54,10 +66,19 @@ def parse_robots_txt(
         parts = F.split(line, ":", 2)
         directive = F.lower(F.trim(F.element_at(parts, 1)))
         value = F.trim(F.element_at(parts, 2))  # NULL when no ':' present
+        # comment-only / blank / colon-less lines are ignored entirely — they
+        # must not break a User-agent start group (RFC 9309 strips them)
+        ignorable = (line == "") | value.isNull()
         is_ua = directive == "user-agent"
-        new_active = F.when(
-            is_ua, (F.lower(value) == ua) | (value == "*")
-        ).otherwise(acc["active"])
+        ua_match = (F.lower(value) == ua) | (value == "*")
+        new_active = (
+            F.when(ignorable, acc["active"])
+            # consecutive UA lines OR into the open group; a UA line after
+            # rule lines starts a new record and replaces the state
+            .when(is_ua, ua_match | (acc["active"] & acc["in_ua_group"]))
+            .otherwise(acc["active"])
+        )
+        new_in_group = F.when(ignorable, acc["in_ua_group"]).otherwise(is_ua)
         add_prefix = (
             acc["active"] & (directive == "disallow") & value.isNotNull() & (value != "")
         )
@@ -71,6 +92,7 @@ def parse_robots_txt(
         ).otherwise(acc["delay"])
         return F.struct(
             new_active.alias("active"),
+            new_in_group.alias("in_ua_group"),
             new_prefixes.alias("prefixes"),
             new_delay.alias("delay"),
         )

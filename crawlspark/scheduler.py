@@ -537,12 +537,27 @@ class Crawler:
         # in the round (Python-bound), so small tasks pack the executors and
         # cut the straggler tail; the exchange also keeps the UDF off the
         # join stage (see the selector-spin note above)
+        feed_x = feed.select(F.col("curl").alias("url"), "html", "provider").repartition(
+            int(sp.conf.get("spark.sql.shuffle.partitions")) * 3
+        )
+        if s.discover_links:
+            # FUSED discovery (round-4 verdict #2): href extraction runs
+            # JVM-side (canonical.extract_links_expr) in the projection
+            # feeding the extraction UDF — post-shuffle, same stage — and the
+            # UDF threads the array through to a per-page 'links' row in the
+            # persisted extraction output. ONE pages-index payload join per
+            # round; the frontier union below reads the cache, not the join.
+            from .canonical import extract_links_expr
+
+            feed_x = feed_x.withColumn(
+                "outlinks", extract_links_expr(F.col("html"), F.col("url"))
+            )
         extracted = extract_pages(
-            feed.select(F.col("curl").alias("url"), "html", "provider")
-            .repartition(int(sp.conf.get("spark.sql.shuffle.partitions")) * 3),
+            feed_x,
             self.fields,
             self.settings.abcd.landing_page_field,
             self.landing_base_url,
+            with_outlinks=s.discover_links,
         ).persist()
 
         # 5. crawl order seq + 7. dense surrogate keys — skew-robust global
@@ -622,6 +637,39 @@ class Crawler:
         datasets = datasets.join(key_map, "url", "left")
         units = units.join(key_map, "url", "left")
 
+        # opt-in post-round curation (CrawlSettings.curate): quality-gate +
+        # near-dup verdicts over THIS round's extracted text, appended as the
+        # auditable 'curation' table. Reads the persisted `extracted` cache
+        # via `datasets` — no extra payload pass. doc_id packs
+        # (surrogate_key, member_index) into one long (member_index < 2^16 —
+        # zip archives are far smaller than that).
+        extra_appends: dict[str, DataFrame] = {}
+        if s.curate:
+            from .textops import curation_decisions
+
+            ds_fields, _ = self.fields.split()
+            text_cols = [f.hash for f in ds_fields if not f.numeric]
+            corpus = datasets.select(
+                "url", "member_index",
+                (F.col("surrogate_key") * (1 << 16) + F.col("member_index"))
+                .alias("doc_id"),
+                F.concat_ws(
+                    " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
+                ).alias("text"),
+            )
+            decisions = curation_decisions(
+                corpus.select("doc_id", "text"),
+                jaccard_threshold=s.curate_jaccard_threshold,
+            )
+            extra_appends["curation"] = (
+                corpus.select("url", "member_index", "doc_id")
+                .join(decisions, "doc_id")
+                .select(
+                    F.lit(round_).alias("round"), "url", "member_index",
+                    "keep", "reason",
+                )
+            )
+
         # the 1-row metrics record is pure driver data — written with pyarrow
         # directly (no Spark job), schema matching schemas.METRICS
         import pyarrow as pa
@@ -666,19 +714,13 @@ class Crawler:
             # opt-in frontier growth: outlinks of this round's fetched pages
             # become next-round candidates (next round's seen/dup machinery
             # filters re-discoveries exactly — no pre-filter needed here).
-            # NOTE: this re-reads the fetched payloads (a second pass of the
-            # fetch join); a production deployment fuses href extraction into
-            # the extraction UDF's single payload pass — kept separate here
-            # so the parity-critical default path stays byte-identical.
-            from .canonical import extract_links_expr
-
+            # Reads the per-page 'links' rows from the PERSISTED extraction
+            # output — the payload was read exactly once, in the fused
+            # extraction pass above.
             discovered = (
                 enrich(
-                    feed.select(
-                        F.explode(
-                            extract_links_expr(F.col("html"), F.col("curl"))
-                        ).alias("url")
-                    )
+                    extracted.filter(F.col("kind") == "links")
+                    .select(F.explode("outlinks").alias("url"))
                     .withColumn("host", F.lit(None).cast("string"))
                     .withColumn("priority", F.lit(s.discovered_priority).cast("int"))
                     .withColumn("warc_ts", F.lit(None).cast("timestamp"))
@@ -722,6 +764,7 @@ class Crawler:
                 "lineage": lineage,
                 "datasets": datasets.sortWithinPartitions("surrogate_key"),
                 "units": units.sortWithinPartitions("surrogate_key"),
+                **extra_appends,
             },
             local_appends={"metrics": metrics_tbl},
             stats_cols={"datasets": ["surrogate_key"], "units": ["surrogate_key"],

@@ -143,12 +143,19 @@ class PartitionedCuckoo:
     Deterministic throughout (victim slot rotates by kick count, start bucket
     picked by fingerprint parity) — same input always builds the same tables.
 
-    Set semantics: ``add`` is idempotent (a fingerprint already present in a
-    candidate bucket is not stored twice), which makes ``delete`` exact for
-    keys that were inserted. Deleting a key that was never added may clear a
-    colliding key's fingerprint (inherent to cuckoo filters — public caveat);
-    callers must pre-filter deletions against the exact seen set, as
-    Crawler.evict does.
+    Set semantics: ``add`` stores ONE copy per inserted key (deduplicating
+    only exact-duplicate hashes within a call) — two DISTINCT keys that
+    collide on (fingerprint, candidate buckets) each keep their own stored
+    copy, bounded by the 2×``slots`` joint bucket capacity, exactly as in the
+    Fan et al. construction. That duplication is what makes ``delete`` exact
+    for keys that were inserted: evicting one colliding key removes one copy
+    and leaves the other key's copy in place (an idempotent add would share a
+    single copy and a delete would orphan the survivor — a FALSE NEGATIVE).
+    Deleting a key that was never added may still clear a colliding key's
+    fingerprint (inherent to cuckoo filters — public caveat); callers must
+    pre-filter deletions against the exact seen set, as Crawler.evict does,
+    and must add each key at most once per lifetime-unless-deleted, as
+    split_new_vs_seen guarantees (only definitely-new hashes reach add).
 
     Partitioned like the Bloom: key-space routed by ``hash & (n_buckets-1)``,
     one (bucket, table) row per partition; build/probe are per-bucket
@@ -195,15 +202,15 @@ class PartitionedCuckoo:
     def add(self, hashes: np.ndarray) -> None:
         if len(hashes) == 0:
             return
+        # within-call exact-hash dedup only: distinct colliding keys MUST each
+        # store their own copy or delete() breaks (see class docstring)
+        hashes = np.unique(hashes)
         buckets = self._route(hashes)
         fp, i1, i2 = self._derive(hashes)
         for b in np.unique(buckets):
             sel = buckets == b
             tbl = self._table(int(b))
-            present = (tbl[i1[sel]] == fp[sel][:, None]).any(axis=1) | (
-                tbl[i2[sel]] == fp[sel][:, None]
-            ).any(axis=1)
-            for f, a, c in zip(fp[sel][~present], i1[sel][~present], i2[sel][~present]):
+            for f, a, c in zip(fp[sel], i1[sel], i2[sel]):
                 f, a, c = int(f), int(a), int(c)
                 placed = False
                 for idx in (a, c):

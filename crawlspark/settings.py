@@ -71,6 +71,13 @@ class CrawlSettings:
     # (tests/oracle_sim.py) models exactly that
     discover_links: bool = False
     discovered_priority: int = 1    # priority for discovered urls (seed = 0)
+    # opt-in post-round curation: run the quality-gate + near-dup chain
+    # (textops.curation_decisions) over the round's extracted text and append
+    # per-document keep/drop verdicts to the warehouse 'curation' table.
+    # Default OFF — the default crawl path stays byte-identical to the
+    # reference-parity oracle
+    curate: bool = False
+    curate_jaccard_threshold: float = 0.8
 
 
 @dataclass

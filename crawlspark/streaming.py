@@ -28,6 +28,45 @@ from .seen import split_new_vs_seen
 from .warehouse import Warehouse
 
 
+def _read_stream_query_id(spark: SparkSession, checkpoint_dir: str) -> str | None:
+    """Stream query id from ``{checkpoint}/metadata``, resolved through the
+    Hadoop FileSystem API so ANY checkpoint URI scheme works (file:, hdfs:,
+    s3a:) — a driver-local pathlib read silently returned None for non-local
+    URIs, disabling the deleted-and-recreated-checkpoint protection it
+    exists for (round-4 advice). Logs a warning when the metadata cannot be
+    read, so a degraded guard is visible instead of silent."""
+    import json as _json
+    import logging
+
+    try:
+        jvm = spark._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(str(checkpoint_dir), "metadata")
+        fs = path.getFileSystem(hconf)
+        if not fs.exists(path):
+            logging.getLogger(__name__).warning(
+                "streaming checkpoint %s has no metadata file yet — the "
+                "recreated-checkpoint guard is degraded for this epoch",
+                checkpoint_dir,
+            )
+            return None
+        stream = fs.open(path)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return _json.loads(text).get("id")
+    except Exception as e:  # never fail the stream on guard resolution
+        logging.getLogger(__name__).warning(
+            "could not read stream query id from %s/metadata (%s) — the "
+            "recreated-checkpoint guard is degraded for this epoch",
+            checkpoint_dir, e,
+        )
+        return None
+
+
 def frontier_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     """File-source stream of frontier rows (parquet drops)."""
     return spark.readStream.schema(schemas.FRONTIER).parquet(input_dir)
@@ -59,13 +98,7 @@ def discovered_urls_stream(
 
     def _base_round() -> int:
         if "epoch" not in _cache:
-            import json as _json
-            from pathlib import Path as _Path
-
-            meta = _Path(str(checkpoint_dir)) / "metadata"
-            qid = None
-            if meta.exists():
-                qid = _json.loads(meta.read_text()).get("id")
+            qid = _read_stream_query_id(spark, checkpoint_dir)
             _cache["epoch"] = warehouse.stream_epoch(str(checkpoint_dir), qid)
         return _cache["epoch"]
 

@@ -243,11 +243,38 @@ def minhash_lsh_pairs(
         F.lit(1.0).alias("jaccard"),
     )
     all_rep_pairs = rep_pairs.unionByName(self_small)
+    # Classes over the pair cap must NEVER reach the quadratic member
+    # expansion — neither via their self pair (excluded from self_small
+    # above) nor via a CROSS-class rep pair (round-4 advice: two ~10^6-copy
+    # boilerplate variants at jaccard≥threshold would otherwise expand
+    # members(A)×members(B)). Pairs touching a capped class stay as a single
+    # rep-to-rep edge; the class's spanning star below preserves
+    # dedup_clusters connectivity (member —star→ rep —edge→ other rep).
+    if max_class_pairs is not None:
+        capped = rep_sig.filter(npairs > max_class_pairs)
+        ca = capped.select(F.col("doc_id").alias("a"), F.lit(True).alias("_ca"))
+        cb = capped.select(F.col("doc_id").alias("b"), F.lit(True).alias("_cb"))
+        marked = all_rep_pairs.join(ca, "a", "left").join(cb, "b", "left")
+        to_expand = marked.filter(
+            F.col("_ca").isNull() & F.col("_cb").isNull()
+        ).select("a", "b", "jaccard")
+        rep_level = (
+            marked.filter(F.col("_ca").isNotNull() | F.col("_cb").isNotNull())
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+                "jaccard",
+            )
+        )
+    else:
+        to_expand = all_rep_pairs
+        rep_level = None
     rm = mem.select("_th", F.col("doc_id").alias("_m")).join(
         rep_sig.select("_th", F.col("doc_id").alias("_rep")), "_th"
     ).select("_rep", "_m")
     expanded = (
-        all_rep_pairs
+        to_expand
         .join(rm.select(F.col("_rep").alias("a"), F.col("_m").alias("ma")), "a")
         .join(rm.select(F.col("_rep").alias("b"), F.col("_m").alias("mb")), "b")
         .filter(F.col("ma") != F.col("mb"))
@@ -258,7 +285,6 @@ def minhash_lsh_pairs(
         )
     )
     if max_class_pairs is not None:
-        capped = rep_sig.filter(npairs > max_class_pairs)
         stats = capped.agg(
             F.count("*").alias("classes"),
             F.sum(npairs - (F.col("_n") - 1)).alias("elided"),
@@ -268,9 +294,9 @@ def minhash_lsh_pairs(
 
             logging.getLogger(__name__).warning(
                 "minhash_lsh_pairs: %d exact-dup class(es) exceed "
-                "max_class_pairs=%d — emitting spanning stars instead of "
-                "all-pairs (%d diagnostic pairs elided; dedup_clusters "
-                "output unaffected)",
+                "max_class_pairs=%d — emitting spanning stars + rep-level "
+                "edges instead of all-pairs (%d diagnostic pairs elided; "
+                "dedup_clusters output unaffected)",
                 stats["classes"], max_class_pairs, int(stats["elided"]),
             )
         # spanning star for capped classes: keeper (min id) → each member —
@@ -284,7 +310,7 @@ def minhash_lsh_pairs(
                 F.lit(1.0).alias("jaccard"),
             )
         )
-        expanded = expanded.unionByName(star)
+        expanded = expanded.unionByName(rep_level).unionByName(star)
     return expanded.dropDuplicates(["a", "b"])
 
 
@@ -761,6 +787,52 @@ def ann_lsh_topk(
     return _rank_topk(scored, k, keep)
 
 
+def kmeans_centroids(
+    sample: list[tuple[int, list[float]]],
+    nlist: int,
+    iters: int = 5,
+) -> dict[int, list[float]]:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer — pure Python
+    floats, fixed iteration count, members folded in vec_id order (order-
+    stable f64 sums), so the SAME code run on the same sample always yields
+    bit-identical centroids (mirrored verbatim by tools/make_fixtures.py).
+
+    Seeding: centroids = the first ``nlist`` sample vectors (k-means with
+    fixed deterministic seeding is standard public practice — FAISS trains
+    its IVF quantizer on a sample the same way). Assignment uses the same
+    score the IVF assignment uses (dot / |centroid|, strict-> argmax, lowest
+    cell id wins ties); an emptied cluster keeps its previous centroid.
+    """
+    import math
+
+    sample = sorted(sample)  # vec_id order — fold order pinned
+    cents: dict[int, list[float]] = {
+        c: [float(x) for x in sample[c][1]] for c in range(nlist)
+    }
+    for _ in range(iters):
+        norm = {c: math.sqrt(sum(x * x for x in cents[c])) for c in cents}
+        sums: dict[int, list[float]] = {c: [0.0] * len(cents[c]) for c in cents}
+        counts = {c: 0 for c in cents}
+        for _vid, vec in sample:
+            best = (float("-inf"), -1)
+            for c in range(nlist):
+                dot = 0.0
+                for x, w in zip(vec, cents[c]):
+                    dot += x * w
+                s = dot / norm[c]
+                if s > best[0]:
+                    best = (s, c)
+            cc = best[1]
+            counts[cc] += 1
+            acc = sums[cc]
+            for i, x in enumerate(vec):
+                acc[i] += float(x)
+        for c in cents:
+            if counts[c]:
+                cents[c] = [s / counts[c] for s in sums[c]]
+    return cents
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -768,6 +840,9 @@ def ann_ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     keep: list | None = None,
+    quantizer: str = "first",
+    train_n: int = 256,
+    kmeans_iters: int = 5,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: the corpus is coarse-quantized into ``nlist``
     posting lists (nearest centroid by cosine), the query probes its
@@ -775,12 +850,21 @@ def ann_ivf_topk(
     classic IVF structure (public: Sivic & Zisserman 2003 'Video Google';
     FAISS IVF family), complementing the sign-LSH variant.
 
-    Centroids are the embeddings of ``vec_id < nlist`` — a DETERMINISTIC
-    coarse quantizer (no trained model, no distributed-sum nondeterminism),
-    collected once as a driver-side dim (nlist rows — robots-table-sized)
-    and inlined as literals, so list assignment is a PURE PROJECTION: no
-    shuffle, no join, whole-stage codegen. A production deployment swaps in
-    k-means centroids; every plan shape below is unchanged.
+    Two coarse quantizers, same plan shape (the quantizer only changes the
+    literal centroid matrix):
+
+    * ``quantizer='first'`` — centroids are the embeddings of
+      ``vec_id < nlist``: zero training, fully deterministic.
+    * ``quantizer='kmeans'`` — centroids from deterministic driver-side
+      Lloyd k-means (``kmeans_centroids``) trained on the ``vec_id <
+      train_n`` sample (sample-based IVF training is the standard public
+      construction — FAISS trains its quantizer on a corpus sample; at
+      10^10 vectors the sample read is one pruned scan of ~train_n rows).
+
+    Either way the centroids are collected once as a driver-side dim
+    (nlist-row — robots-table-sized) and inlined as literals, so list
+    assignment is a PURE PROJECTION: no shuffle, no join, whole-stage
+    codegen.
 
     Scale shape (10^10 vectors): ``list_id`` is the corpus partition key, so
     a query's candidate read touches only ~nprobe/nlist of the data
@@ -791,12 +875,25 @@ def ann_ivf_topk(
     """
     import math
 
-    cent_rows = (
-        embeddings.filter(F.col("vec_id") < nlist)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in cent_rows}
+    if quantizer == "kmeans":
+        sample_rows = (
+            embeddings.filter(F.col("vec_id") < train_n)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        sample = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                  for r in sample_rows]
+        cents = kmeans_centroids(sample, nlist, kmeans_iters)
+    elif quantizer == "first":
+        cent_rows = (
+            embeddings.filter(F.col("vec_id") < nlist)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+                 for r in cent_rows}
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r} (use 'first' or 'kmeans')")
     cent_ids = sorted(cents)
     dims = len(cents[cent_ids[0]])
     # centroid norms are driver-side literals — the fixture mirror computes
@@ -1087,6 +1184,43 @@ def gopher_quality_rules(
         ok_alpha.alias("ok_alpha_ratio"),
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_mwl & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+def curation_decisions(
+    corpus: DataFrame,
+    jaccard_threshold: float = 0.8,
+    max_class_pairs: int | None = 100_000,
+) -> DataFrame:
+    """(doc_id, text) → one (doc_id, keep, reason) decision per document:
+    Gopher quality gates first, then MinHash-LSH near-dup clustering over
+    the gate survivors — the same chain as the pipeline_curate battery row,
+    shaped as an auditable per-doc verdict table (reason 'quality' |
+    'duplicate' | NULL). Used by the crawl loop's settings-gated post-round
+    curation hook (CrawlSettings.curate); scale shape inherits from its
+    stages (pure-Catalyst gates, banded id-only LSH shuffle, capped class
+    expansion)."""
+    gates = gopher_quality_rules(corpus).select("doc_id", "keep")
+    gated = corpus.join(gates.filter("keep").select("doc_id"), "doc_id")
+    pairs = minhash_lsh_pairs(
+        gated, jaccard_threshold=jaccard_threshold, max_class_pairs=max_class_pairs
+    )
+    losers = (
+        dedup_clusters(pairs).filter(~F.col("is_keeper")).select("doc_id")
+        .withColumn("_dup", F.lit(True))
+    )
+    g = gates.withColumnRenamed("keep", "_gate")
+    return (
+        corpus.select("doc_id")
+        .join(g, "doc_id", "left")
+        .join(losers, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("_gate", F.lit(False)) & F.col("_dup").isNull()).alias("keep"),
+            F.when(~F.coalesce("_gate", F.lit(False)), F.lit("quality"))
+            .when(F.col("_dup").isNotNull(), F.lit("duplicate"))
+            .alias("reason"),
+        )
     )
 
 

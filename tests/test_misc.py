@@ -278,6 +278,115 @@ def test_robots_parser(spark):
     assert rules["h2"]["max_per_round"] == 8    # default
 
 
+def test_metrics_digest(spark, tmp_path):
+    """Digest over a multi-round crawl (post_to_slack.py analog): one
+    [SUMMARY] header with crawl totals, one [INFO] line per round, and
+    failures pulled into [ATTENTION] — content asserted against the metrics
+    table the crawl actually committed."""
+    from crawlspark import schemas, synth
+    from crawlspark.report import metrics_digest
+    from crawlspark.scheduler import Crawler
+    from crawlspark.settings import Settings
+    from crawlspark.warehouse import Warehouse
+
+    n, n_hosts = 60, 5
+    pages = spark.createDataFrame(
+        [synth.page_row(i, n_hosts) for i in range(0, n, 2)], schemas.PAGES
+    )  # half the frontier has no page → failures appear in the digest
+    frontier = spark.createDataFrame(synth.frontier_rows(n, n_hosts), schemas.FRONTIER)
+    robots = spark.createDataFrame(synth.robots_rows(n_hosts), schemas.ROBOTS)
+    wh = Warehouse(str(tmp_path / "wh"))
+    settings = Settings.new(overrides={"crawl": {"max_retries": 0}})
+    results = Crawler(
+        spark, settings, wh, synth.golden_fields(), pages, robots, frontier
+    ).run(max_rounds=2)
+    assert len(results) >= 2
+
+    digest = metrics_digest(spark, wh)
+    total_fetched = sum(r.fetched for r in results)
+    total_failed = sum(r.failed for r in results)
+    assert f"Crawl contains {len(results)} round(s): {total_fetched} fetched" in digest
+    for r_i, r in enumerate(results):  # metrics rounds number from 0
+        assert f"[INFO] round {r_i}: fetched={r.fetched}" in digest
+    assert total_failed > 0  # the synthetic gap really produced failures
+    assert "[ATTENTION]" in digest and f"{results[0].failed} failed" in digest
+
+
+def test_crawl_curation_hook(spark, tmp_path):
+    """CrawlSettings.curate=True: each round appends per-document keep/drop
+    verdicts (quality gates + near-dup chain over the round's extracted
+    text) to the 'curation' table; the default path writes no such table."""
+    from crawlspark import schemas, synth
+    from crawlspark.scheduler import Crawler
+    from crawlspark.settings import Settings
+    from crawlspark.warehouse import Warehouse
+
+    n, n_hosts = 40, 5
+    pages = spark.createDataFrame(
+        [synth.page_row(i, n_hosts) for i in range(n)], schemas.PAGES
+    )
+    frontier = spark.createDataFrame(synth.frontier_rows(n, n_hosts), schemas.FRONTIER)
+    robots = spark.createDataFrame(synth.robots_rows(n_hosts), schemas.ROBOTS)
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    settings = Settings.new(overrides={"crawl": {"curate": True, "max_retries": 0}})
+    results = Crawler(
+        spark, settings, wh, synth.golden_fields(), pages, robots, frontier
+    ).run(max_rounds=2)
+    assert wh.has_table("curation")
+    cur = wh.read_appends(spark, "curation").collect()
+    # one verdict per extracted dataset row, across all crawled rounds
+    n_datasets = wh.read_appends(spark, "datasets").count()
+    assert len(cur) == n_datasets > 0
+    assert {r["round"] for r in cur} == set(range(len(results)))  # rounds from 0
+    for r in cur:
+        assert (r["reason"] is None) == bool(r["keep"])
+        assert r["reason"] in (None, "quality", "duplicate")
+
+    # default path: no curation table
+    wh2 = Warehouse(str(tmp_path / "wh2"))
+    Crawler(
+        spark, Settings.new(overrides={"crawl": {"max_retries": 0}}), wh2,
+        synth.golden_fields(), pages, robots, frontier,
+    ).run(max_rounds=1)
+    assert not wh2.has_table("curation")
+
+
+def test_robots_parser_consecutive_user_agent_grouping(spark):
+    """RFC 9309 §2.2.1: consecutive User-agent lines form ONE record — rules
+    below apply if ANY of the group's agents matches. A UA line after rule
+    lines starts a NEW record (state replaced, not OR-ed). Comments/blank
+    lines are transparent to grouping."""
+    from crawlspark.robots import parse_robots_txt
+
+    rows = [
+        # '*' then OtherBot, one shared rule: applies to '*' queries
+        ("g1", "User-agent: *\nUser-agent: OtherBot\nDisallow: /x\n"),
+        # reversed order, same record
+        ("g2", "User-agent: OtherBot\nUser-agent: *\nDisallow: /y\n"),
+        # comment + blank inside the start group must not break it
+        ("g3", "User-agent: OtherBot\n# note\n\nUser-agent: *\nDisallow: /z\n"),
+        # UA after rule lines RESETS: '*' record closed by its Disallow, the
+        # following OtherBot record must not inherit active state
+        ("g4", "User-agent: *\nDisallow: /a\nUser-agent: OtherBot\nDisallow: /b\n"),
+        # group with no matching agent at all
+        ("g5", "User-agent: OtherBot\nUser-agent: ThirdBot\nDisallow: /w\n"),
+    ]
+    df = spark.createDataFrame(rows, ["host", "body"])
+    got = {r["host"]: list(r["disallow_prefixes"])
+           for r in parse_robots_txt(df).collect()}
+    assert got["g1"] == ["/x"]
+    assert got["g2"] == ["/y"]
+    assert got["g3"] == ["/z"]
+    assert got["g4"] == ["/a"]
+    assert got["g5"] == []
+    mine = {r["host"]: list(r["disallow_prefixes"])
+            for r in parse_robots_txt(df, user_agent="otherbot").collect()}
+    # '*' records apply to every agent (documented subset: rules collected
+    # from any record matching the agent or '*'), so g4 keeps both
+    assert mine["g1"] == ["/x"] and mine["g4"] == ["/a", "/b"] and mine["g5"] == ["/w"]
+
+
 def test_robots_parser_feeds_crawler(spark, tmp_path):
     """End-to-end wiring: parsed robots.txt rules drive the crawl loop —
     the disallowed prefix is enforced (robots_blocked counts match)."""

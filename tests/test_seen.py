@@ -148,8 +148,6 @@ def test_cuckoo_add_probe_delete():
     hs = np.arange(-500, 500, dtype=np.int64) * 2654435761
     ck.add(hs)
     assert ck.might_contain(hs).all()  # no false negatives
-    # idempotent add: re-adding stores nothing new, so ONE delete removes
-    ck.add(hs)
     evicted = hs[::7]
     ck.delete(evicted)
     kept = np.setdiff1d(hs, evicted)
@@ -159,6 +157,40 @@ def test_cuckoo_add_probe_delete():
     assert ck.might_contain(evicted).mean() < 0.05
     fresh = np.arange(10_000_000, 10_001_000, dtype=np.int64)
     assert ck.might_contain(fresh).mean() < 0.05
+
+
+def test_cuckoo_colliding_keys_survive_delete():
+    """Two DISTINCT keys sharing (fingerprint, candidate buckets): deleting
+    one must NOT clear the other — the filter stores one copy per key (Fan et
+    al. 2014 duplication), so delete is exact for inserted keys. An idempotent
+    add would share one stored copy and this would be a false negative."""
+    from crawlspark.seen import PartitionedCuckoo
+
+    m, slots, nb = 1 << 4, 4, 1
+    ck = PartitionedCuckoo(m, slots, nb)
+    # scan for a colliding pair under the filter's own derivation
+    seen_sig: dict = {}
+    pair = None
+    hs = np.arange(1, 200_000, dtype=np.int64) * 2654435761
+    fp, i1, i2 = ck._derive(hs)
+    for j in range(len(hs)):
+        sig = (int(fp[j]), frozenset((int(i1[j]), int(i2[j]))))
+        if sig in seen_sig:
+            pair = (hs[seen_sig[sig]], hs[j])
+            break
+        seen_sig[sig] = j
+    assert pair is not None, "no colliding pair found in scan range"
+    a, b = pair
+    ck.add(np.array([a, b], dtype=np.int64))
+    ck.delete(np.array([a], dtype=np.int64))
+    assert ck.might_contain(np.array([b], dtype=np.int64)).all(), (
+        "deleting one colliding key cleared the other's only stored copy"
+    )
+    # and within-call exact-duplicate hashes still collapse to one copy
+    ck2 = PartitionedCuckoo(m, slots, nb)
+    ck2.add(np.array([a, a, a], dtype=np.int64))
+    ck2.delete(np.array([a], dtype=np.int64))
+    assert not ck2.might_contain(np.array([a], dtype=np.int64)).any()
 
 
 def test_cuckoo_kick_eviction_densely_packed():

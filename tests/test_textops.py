@@ -492,6 +492,83 @@ def test_minhash_max_class_pairs_guard(spark, caplog):
     assert cl[n + 1] == (n + 1, True) and cl[n + 2] == (n + 1, False)
 
 
+def test_avi_codec_roundtrip():
+    """Pure-stdlib RIFF/AVI walker: encode N frames → the walker finds
+    exactly N movi chunks with the avih dimensions and in-bounds data spans;
+    WAV payloads (also RIFF) and malformed input raise."""
+    import pytest
+
+    from crawlspark.multimodal import avi_encode_frames, avi_frames, wav_encode_pcm16
+
+    w, h = 6, 4
+    frames = [bytes(((f * 11 + i) % 251) for i in range(w * h)) for f in range(5)]
+    blob = avi_encode_frames(w, h, frames)
+    got = avi_frames(blob)
+    assert [g[0] for g in got] == [0, 1, 2, 3, 4]
+    assert all((fw, fh) == (w, h) for _, _, _, fw, fh in got)
+    for fi, off, ln, _, _ in got:
+        assert ln == w * h and blob[off:off + ln] == frames[fi]
+    with pytest.raises(ValueError):
+        avi_frames(b"not an avi")
+    with pytest.raises(ValueError):
+        avi_frames(wav_encode_pcm16(8000, [0, 1, 2]))  # RIFF but WAVE
+    with pytest.raises(ValueError):
+        avi_frames(blob[:40])  # truncated mid-chunk
+
+
+def test_frame_sample_avi_branch(spark):
+    """frame_sample routes AVI payloads through the real walker (dimensions
+    + stride from the container), GIFs through the GIF walker, and unknown
+    bytes through the stub — all in one batch."""
+    from crawlspark.multimodal import (
+        avi_encode_frames, frame_sample, gif_encode_frames,
+    )
+
+    avi = avi_encode_frames(3, 2, [bytes(6), bytes(6), bytes(6)])
+    gif = gif_encode_frames(2, 2, [bytes(4)])
+    rows = [(1, bytearray(avi)), (2, bytearray(gif)), (3, bytearray(b"plainbytes" * 5))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {(r["doc_id"], r["frame_index"]): r for r in frame_sample(df).collect()}
+    assert got[(1, 0)]["splitter"] == "real-avi" and got[(1, 0)]["width"] == 3
+    assert (1, 2) in got and (1, 1) not in got  # every_n=2 stride
+    assert got[(2, 0)]["splitter"] == "real-gif"
+    assert got[(3, 0)]["splitter"] == "stub" and got[(3, 0)]["width"] is None
+
+
+def test_minhash_cross_class_cap_routing(spark, caplog):
+    """Round-4 advice (low): two CAPPED exact-dup classes that are near-dups
+    of EACH OTHER must not expand members(A)×members(B) — the cross-class
+    rep pair is routed as a single rep-to-rep edge, and the per-class
+    spanning stars preserve dedup_clusters connectivity (one merged
+    cluster), with |output| = (nA-1) + (nB-1) + O(1) rep edges instead of
+    nA×nB."""
+    import logging
+
+    from crawlspark.textops import dedup_clusters
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the crawler parses every single page of text")
+    nA, nB = 200, 200
+    rows = [(i, base) for i in range(nA)]
+    rows += [(1000 + j, base + " tail") for j in range(nB)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with caplog.at_level(logging.WARNING, logger="crawlspark.textops"):
+        pairs = minhash_lsh_pairs(df, jaccard_threshold=0.5, max_class_pairs=1000)
+        got = pairs.collect()
+    edges = {(r["a"], r["b"]) for r in got}
+    # the quadratic cross product would be 40 000 rows; the routed shape is
+    # two stars + rep-level edge(s)
+    assert len(edges) < 500, f"cross-class expansion leaked: {len(edges)} rows"
+    assert all((0, i) in edges for i in range(1, nA))          # star A
+    assert all((1000, 1000 + j) in edges for j in range(1, nB))  # star B
+    assert (0, 1000) in edges                                   # rep-to-rep
+    # connectivity contract: everything is ONE cluster, keeper = min id
+    cl = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+          for r in dedup_clusters(pairs).collect()}
+    assert all(cl[i] == (0, i == 0) for i in range(nA))
+    assert all(cl[1000 + j] == (0, False) for j in range(nB))
+
+
 def test_ann_ivf_recall(spark):
     """IVF retrieval contract: planted near-neighbors share the query's
     coarse cell, so nprobe>=1 recovers the exact brute-force top-k."""
@@ -513,6 +590,36 @@ def test_ann_ivf_recall(spark):
     bf = {r["vec_id"] for r in ann_bruteforce_topk(df, 100, 8).collect()}
     ivf = {r["vec_id"] for r in ann_ivf_topk(df, 100, 8, nlist=8, nprobe=2).collect()}
     assert len(ivf & bf) / len(bf) == 1.0, f"missed {bf - ivf}"
+
+
+def test_ann_ivf_kmeans_recall(spark):
+    """Trained quantizer contract (round-4 verdict #4): deterministic
+    k-means centroids must retrieve at least as well as the untrained
+    first-nlist quantizer on the planted-neighbor corpus."""
+    import random
+
+    from crawlspark.textops import ann_ivf_topk
+
+    rng = random.Random(11)
+    dims = 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dims)]) for i in range(100)]
+    base = [rng.uniform(-1, 1) for _ in range(dims)]
+    rows.append((100, base))
+    for i in range(101, 109):
+        rows.append((i, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bf = {r["vec_id"] for r in ann_bruteforce_topk(df, 100, 8).collect()}
+    first = {r["vec_id"]
+             for r in ann_ivf_topk(df, 100, 8, nlist=8, nprobe=2).collect()}
+    km = {r["vec_id"]
+          for r in ann_ivf_topk(df, 100, 8, nlist=8, nprobe=2,
+                                quantizer="kmeans", train_n=64).collect()}
+    assert len(km & bf) / len(bf) >= len(first & bf) / len(bf)
+    # and the trained path is deterministic: same call, same result set
+    km2 = {r["vec_id"]
+           for r in ann_ivf_topk(df, 100, 8, nlist=8, nprobe=2,
+                                 quantizer="kmeans", train_n=64).collect()}
+    assert km == km2
 
 
 def test_ann_ivf_probe_fraction(spark):

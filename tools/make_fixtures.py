@@ -409,6 +409,72 @@ def ann_ivf_fixture(embs) -> pa.Table:
     )
 
 
+def ann_ivf_kmeans_fixture(embs) -> pa.Table:
+    """Mirror of textops.ann_ivf_topk(quantizer='kmeans'): deterministic
+    Lloyd k-means (init = first nlist sample vectors, fixed 5 iterations,
+    members folded in vec_id order, dot/|centroid| strict-> argmax
+    assignment, empty cluster keeps its centroid) trained on the
+    vec_id < 256 sample, then the same probe + exact-cosine re-rank as
+    ann_ivf_fixture over the trained centroids."""
+    nlist, nprobe, k, qid, train_n, iters = 16, 4, 10, 0, 256, 5
+    vecs = dict(embs)
+    sample = sorted((vid, v) for vid, v in embs if vid < train_n)
+    cents = {c: [float(x) for x in sample[c][1]] for c in range(nlist)}
+    for _ in range(iters):
+        norm = {c: math.sqrt(sum(x * x for x in cents[c])) for c in cents}
+        sums = {c: [0.0] * len(cents[c]) for c in cents}
+        counts = {c: 0 for c in cents}
+        for _vid, vec in sample:
+            best = (float("-inf"), -1)
+            for c in range(nlist):
+                dot = 0.0
+                for x, w in zip(vec, cents[c]):
+                    dot += x * w
+                s = dot / norm[c]
+                if s > best[0]:
+                    best = (s, c)
+            cc = best[1]
+            counts[cc] += 1
+            acc = sums[cc]
+            for i, x in enumerate(vec):
+                acc[i] += float(x)
+        for c in cents:
+            if counts[c]:
+                cents[c] = [s / counts[c] for s in sums[c]]
+
+    cnorm = {c: math.sqrt(sum(x * x for x in cents[c])) for c in cents}
+
+    def cell_score(v, c):
+        dot = 0.0
+        for x, w in zip(v, cents[c]):
+            dot += x * w
+        return dot / cnorm[c]
+
+    def assign(v):
+        best = (float("-inf"), -1)
+        for c in sorted(cents):
+            s = cell_score(v, c)
+            if s > best[0]:
+                best = (s, c)
+        return best[1]
+
+    qscores = sorted((cell_score(vecs[qid], c), c) for c in cents)
+    probe_set = {c for _, c in list(reversed(qscores))[:nprobe]}
+    cand = [
+        (cosine(v, vecs[qid]), vid)
+        for vid, v in embs
+        if vid != qid and assign(v) in probe_set
+    ]
+    cand.sort(key=lambda t: (-t[0], t[1]))
+    top = cand[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array([vid for _, vid in top], pa.int64()),
+            "rank": pa.array(list(range(1, len(top) + 1)), pa.int32()),
+        }
+    )
+
+
 def embed_neardup_fixture(embs) -> pa.Table:
     bands, ppb, thr = 4, 16, 0.999
     d = embs + [(vid + 1000000, vec) for vid, vec in embs if vid % 25 == 0]
@@ -442,6 +508,7 @@ def main() -> None:
         "dedup_simhash": simhash_fixture(docs),
         "ann_lsh": ann_lsh_fixture(embs),
         "ann_ivf": ann_ivf_fixture(embs),
+        "ann_ivf_kmeans": ann_ivf_kmeans_fixture(embs),
         "embed_neardup": embed_neardup_fixture(embs),
         "fingerprint_winnow": winnow_fixture(docs),
         "pipeline_curate": pipeline_curate_fixture(docs),

@@ -268,6 +268,61 @@ def main() -> None:
           ("no exchange (pure projection)", "Exchange" not in p)])
     )
 
+    # 17. fused outlink discovery: the discover-links round reads the payload
+    #     ONCE — href extraction is a JVM regex in the projection feeding the
+    #     extraction UDF, and the 'links' rows ride the same single
+    #     MapInPandas output (round-4 verdict #2 done-criterion)
+    import tempfile
+
+    from crawlspark.canonical import extract_links_expr
+
+    pages_dir = tempfile.mkdtemp(prefix="plan_audit_pages_")
+    spark.createDataFrame(
+        [(r["url"], r["html"], "p") for r in rows], ["url", "html", "provider"]
+    ).write.mode("overwrite").parquet(pages_dir)
+    pages_src = spark.read.parquet(pages_dir)
+    keys = pages_src.select("url").limit(3)
+    feed = (
+        keys.join(pages_src.select(F.col("url").alias("p_url"), "html", "provider"),
+                  keys["url"] == F.col("p_url")).drop("p_url")
+        .withColumn("outlinks", extract_links_expr(F.col("html"), F.col("url")))
+    )
+    q = extract_pages(feed, synth.golden_fields(), synth.LANDING_PAGE_FIELD,
+                      with_outlinks=True)
+    p = fmt(q)
+    scan_blocks = [
+        b for b in p.split("\n\n")
+        if "Scan parquet" in b and "plan_audit_pages_" in b
+    ]
+    html_scans = [b for b in scan_blocks if "html" in b]
+    sections.append(
+        ("Fused discovery: ONE payload pass (links extracted in the extraction stage)", p,
+         [("exactly one MapInPandas operator", p.count("MapInPandas (") == 1),
+          ("href extraction is JVM-side (regexp_extract_all below the UDF)",
+           "regexp_extract_all" in p),
+          # the key side is column-pruned (url only), so exactly ONE scan in
+          # the whole plan carries the html payload — the fused extraction
+          # feed; a second payload pass would show a second html ReadSchema
+          ("a single payload-carrying (html) scan of the pages source",
+           len(html_scans) == 1)])
+    )
+
+    # 18. IVF ANN with the TRAINED k-means quantizer: training is driver-side
+    #     on a pruned sample scan; the per-row plan is IDENTICAL to the
+    #     'first' quantizer — projection-only assignment, broadcast probe
+    q = ann_ivf_topk(emb, query_vec_id=0, k=10, quantizer="kmeans")
+    p = fmt(q)
+    sections.append(
+        ("IVF ANN (kmeans quantizer): same projection-only plan as 'first'", p,
+         [("no Python/Arrow operator", "MapInPandas" not in p and "ArrowEval" not in p
+           and "BatchEvalPython" not in p),
+          ("candidate join is a broadcast HASH join on list_id",
+           "BroadcastHashJoin" in p),
+          ("no cartesian / no cross nested-loop over the corpus",
+           "CartesianProduct" not in p
+           and "BroadcastNestedLoopJoin Cross" not in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
