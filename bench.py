@@ -12,7 +12,7 @@ pairs), and a complete JSON snapshot line is flushed after the battery and
 after every scaling pair — the driver reads the last parseable line, so a
 timeout at any point still leaves numbers (round-4 lesson: rc=124 left
 `parsed: null`). The scaling campaign is budget-aware via
-$CRAWLSPARK_BENCH_BUDGET_SEC (default 2100 s wall-clock for the whole bench).
+$CRAWLSPARK_BENCH_BUDGET_SEC (default 2600 s wall-clock for the whole bench).
 
 1. Crawl throughput (the BASELINE.json metric "URLs fetched+deduped/sec"):
    the bulk crawl job over a deterministic synthetic frontier, run in separate
@@ -542,7 +542,7 @@ def main() -> None:
     # Round 4 overran the driver's timeout by raising the campaign to 3
     # pairs; the campaign now stops adding pairs when the projected pair
     # duration no longer fits before the deadline.
-    budget = float(os.environ.get("CRAWLSPARK_BENCH_BUDGET_SEC", "2100"))
+    budget = float(os.environ.get("CRAWLSPARK_BENCH_BUDGET_SEC", "2600"))
     deadline = time.time() + budget
     state: dict = {"crawl": {}, "timings": {}}
 
