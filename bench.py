@@ -415,28 +415,27 @@ def write_baseline_md(crawl: dict, timings: dict[str, float]) -> None:
     # historical campaign evidence is read from its artifact at generation
     # time, never hard-coded (round-4 advice: a baked-in dated claim would
     # assert a past bar regardless of what the current measurement shows)
-    camp_path = BENCH_DIR / "campaign_r4_pairs5.json"
-    if camp_path.exists():
+    for camp_path in sorted(BENCH_DIR.glob("campaign_r*.json")):
         try:
             camp = json.loads(camp_path.read_text())
             camp = camp.get("crawl", camp)
             cp = camp.get("all_pairs") or camp.get("pairs") or []
             effs = [(p["strong_eff"], p["weak_eff"]) for p in cp]
             lines += [
-                "### Round-4 campaign evidence (from "
-                "`BENCH/campaign_r4_pairs5.json`, read at generation time)",
+                f"### Campaign evidence (from `BENCH/{camp_path.name}`, "
+                "read at generation time)",
                 "",
                 f"A dedicated {len(effs)}-pair campaign under this same pinned",
                 "methodology measured per-pair (strong, weak) efficiencies:",
                 f"{effs}; best weak {max(w for _, w in effs)}, medians",
                 f"strong {camp.get('median_strong_eff', '?')} / weak "
                 f"{camp.get('median_weak_eff', '?')}. Full analysis in the",
-                "repo-root `BASELINE.md` round-4 notes. The numbers above this",
+                "repo-root `BASELINE.md` round notes. The numbers above this",
                 "section are whatever the most recent regeneration measured.",
                 "",
             ]
         except (ValueError, KeyError) as e:
-            lines += [f"(campaign artifact unreadable: {e})", ""]
+            lines += [f"(campaign artifact {camp_path.name} unreadable: {e})", ""]
     lines += [
         "### Methodology (executor-faithful proxy)",
         "",
