@@ -387,6 +387,40 @@ def q_extraction_units(spark, sf):
     )
 
 
+def q_extraction_version(spark, sf):
+    """ABCD version sniff through the full Spark extraction path
+    (abcd_parser.rs:62-78 semantics): three handcrafted archives with 2.06,
+    2.1 and no namespace; the sniffed version must ride the abcd_version
+    meta column. Closed-form oracle (deterministic input built in-query)."""
+    import io
+    import zipfile
+
+    from crawlspark import synth
+    from crawlspark.extract import extract_pages
+
+    def zip_of(xml: bytes) -> bytes:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("dataset.xml", xml)
+        return buf.getvalue()
+
+    body = b"<DataSet><Units><Unit></Unit></Units></DataSet></DataSets>"
+    pages = [
+        ("http://v/206", zip_of(
+            b'<DataSets xmlns="http://www.tdwg.org/schemas/abcd/2.06">' + body)),
+        ("http://v/210", zip_of(
+            b"<DataSets xmlns='http://www.tdwg.org/schemas/abcd/2.1'>" + body)),
+        ("http://v/none", zip_of(b"<DataSets>" + body)),
+    ]
+    df = spark.createDataFrame(
+        [(u, b, "prov") for u, b in pages], ["url", "html", "provider"]
+    )
+    ex = extract_pages(df, synth.golden_fields(), synth.LANDING_PAGE_FIELD)
+    return ex.filter(F.col("kind") == "dataset").select(
+        "url", "abcd_version"
+    ).orderBy("url")
+
+
 # ---------------------------------------------------------------------------
 # training-data ops
 # ---------------------------------------------------------------------------
@@ -682,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_parse": q_crawl_robots_parse,
         "crawl_link_extract": q_crawl_link_extract,
         "extraction_units": q_extraction_units,
+        "extraction_version": q_extraction_version,
         "dedup_exact": q_dedup_exact,
         "line_dedup": q_line_dedup,
         "dedup_minhash": q_dedup_minhash,
@@ -1015,6 +1050,15 @@ def oracle_sql() -> dict[str, str]:
         "extraction_units": f"""
             SELECT url, member_index, unit_index, unit_id, lon
             FROM read_parquet('{_FIXTURES}/extraction_units.parquet')
+        """,
+        # closed form: the three in-query archives pin the sniff outcome
+        "extraction_version": """
+            SELECT url, abcd_version FROM (VALUES
+                ('http://v/206', '2.06'),
+                ('http://v/210', '2.1'),
+                ('http://v/none', CAST(NULL AS VARCHAR))
+            ) AS t(url, abcd_version)
+            ORDER BY url
         """,
         "dedup_minhash": f"""
             SELECT a, b, jaccard FROM read_parquet('{_FIXTURES}/dedup_minhash.parquet')

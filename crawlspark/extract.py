@@ -22,8 +22,10 @@ Reproduces, bit-for-bit, the reference's extraction pipeline:
       f64 grammar, failure ⇒ silently absent (abcd_parser.rs:108-121)
     - landing page = extracted URI field else proposal (abcd_parser.rs:137-144)
     - "no dataset metadata" ⇒ error result (abcd_parser.rs:154-156)
-  The reference also sniffs the ABCD version from the DataSets xmlns attribute
-  (abcd_parser.rs:62-78) but never reads it afterwards, so it is not tracked.
+  The ABCD version is sniffed from the DataSets start tag's attribute values
+  (abcd_parser.rs:62-78; enum at abcd_version.rs:3-8) and — going one step
+  further than the reference, which computes but never reads it — surfaced as
+  the ``abcd_version`` meta column on dataset/unit rows.
 
 Spark-side shape: ``extract_pages(df, fields, ...)`` runs ``mapInPandas`` over
 Arrow batches of (url, html, provider, landing_proposal, ...) and returns one
@@ -58,12 +60,44 @@ def _strip_ns(name: bytes) -> bytes:
     return name[i + 1:] if i >= 0 else name
 
 
+def attr_values(attrs: bytes):
+    """Raw (escaped) attribute VALUES of a start tag, in document order.
+
+    The analog of quick-xml's ``e.attributes().filter_map(Result::ok)`` as the
+    reference consumes it (abcd_parser.rs:63-72): only values are compared,
+    keys are never read, and malformed trailing fragments are skipped rather
+    than erroring.
+    """
+    i = 0
+    n = len(attrs)
+    while i < n:
+        eq = attrs.find(b"=", i)
+        if eq < 0:
+            return
+        j = eq + 1
+        while j < n and attrs[j : j + 1] in (b" ", b"\t", b"\r", b"\n"):
+            j += 1
+        q = attrs[j : j + 1]
+        if q not in (b'"', b"'"):
+            i = eq + 1
+            continue
+        k = attrs.find(q, j + 1)
+        if k < 0:
+            return
+        yield attrs[j + 1 : k]
+        i = k + 1
+
+
 def xml_events(data: bytes):
-    """quick-xml-compatible event stream: ('start'|'end'|'text', payload).
+    """quick-xml-compatible event stream: (kind, payload, attrs) triples,
+    kind ∈ {'start','end','text'}.
 
     Start/End carry the namespace-stripped tag name; Text carries the RAW
-    (escaped, trimmed) bytes. Comments, PIs, DOCTYPE, CDATA and self-closing
-    tags emit nothing (reference ignores those events).
+    (escaped, trimmed) bytes. Start events additionally carry the raw
+    attribute byte-span of the tag (``b""`` for end/text) so callers can
+    sniff attributes — the reference reads them exactly once, for the ABCD
+    version (abcd_parser.rs:62-78). Comments, PIs, DOCTYPE, CDATA and
+    self-closing tags emit nothing (reference ignores those events).
     """
     n = len(data)
     i = 0
@@ -74,7 +108,7 @@ def xml_events(data: bytes):
         if j > i:
             text = data[i:j].strip(_WS)
             if text:
-                yield ("text", text)
+                yield ("text", text, b"")
         if data.startswith(b"<!--", j):
             k = data.find(b"-->", j + 4)
             i = n if k < 0 else k + 3
@@ -92,7 +126,7 @@ def xml_events(data: bytes):
             if k < 0:
                 break
             name = data[j + 2:k].strip(_WS)
-            yield ("end", _strip_ns(name))
+            yield ("end", _strip_ns(name), b"")
             i = k + 1
         else:
             k = data.find(b">", j + 1)
@@ -102,8 +136,10 @@ def xml_events(data: bytes):
             if inner.endswith(b"/"):
                 i = k + 1  # self-closing == quick-xml Event::Empty, ignored
                 continue
-            name = inner.split(None, 1)[0] if inner.split(None, 1) else inner
-            yield ("start", _strip_ns(name))
+            parts = inner.split(None, 1)
+            name = parts[0] if parts else inner
+            attrs = parts[1] if len(parts) > 1 else b""
+            yield ("start", _strip_ns(name), attrs)
             i = k + 1
     # trailing text after the last tag is ignored (EOF)
 
@@ -117,23 +153,38 @@ def parse_abcd(
     landing_page_field: str,
     xml_bytes: bytes,
     landing_page_proposal: str,
-) -> tuple[dict, list[dict], str]:
-    """Parse one XML blob → (dataset_values, unit_rows, landing_page).
+) -> tuple[dict, list[dict], str, str | None]:
+    """Parse one XML blob → (dataset_values, unit_rows, landing_page,
+    abcd_version).
 
-    Exact port of the parse loop semantics at abcd_parser.rs:39-157; values are
-    keyed by full field path; numeric values are Python floats.
+    Exact port of the parse loop semantics at abcd_parser.rs:39-157; values
+    are keyed by full field path; numeric values are Python floats.
+    ``abcd_version`` is sniffed from the ``<DataSets>`` start tag's attribute
+    values exactly as the reference does (abcd_parser.rs:62-78 over the
+    AbcdVersion enum, abcd_version.rs:3-8): first attribute whose VALUE is
+    the 2.06 or 2.1 TDWG namespace URI wins; anything else ⇒ None (the
+    reference's AbcdVersion::Unknown).
     """
     whitelist: dict[bytes, FieldSpec] = {f.name.encode(): f for f in fields}
     path = bytearray()
     values: dict[str, object] = {}
     dataset_data: dict | None = None
     units: list[dict] = []
+    abcd_version: str | None = None
 
-    for kind, payload in xml_events(xml_bytes):
+    for kind, payload, attrs in xml_events(xml_bytes):
         if kind == "start":
             path += b"/"
             path += payload
-            if bytes(path) == b"/DataSets/DataSet/Units":
+            if bytes(path) == b"/DataSets":
+                for v in attr_values(attrs):
+                    if v == b"http://www.tdwg.org/schemas/abcd/2.06":
+                        abcd_version = "2.06"
+                        break
+                    if v == b"http://www.tdwg.org/schemas/abcd/2.1":
+                        abcd_version = "2.1"
+                        break
+            elif bytes(path) == b"/DataSets/DataSet/Units":
                 dataset_data = dict(values)
                 values.clear()
         elif kind == "end":
@@ -159,7 +210,7 @@ def parse_abcd(
 
     lp = dataset_data.get(landing_page_field)
     landing_page = lp if isinstance(lp, str) else landing_page_proposal
-    return dataset_data, units, landing_page
+    return dataset_data, units, landing_page, abcd_version
 
 
 def zip_members(blob: bytes) -> Iterator[tuple[int, bytes | None, str | None]]:
@@ -189,6 +240,7 @@ META_COLS = [
     ("dataset_path", StringType()),
     ("landing_page", StringType()),
     ("provider", StringType()),
+    ("abcd_version", StringType()),  # sniffed per member (abcd_parser.rs:62-78)
 ]
 
 
@@ -274,12 +326,13 @@ def extract_pages(
             rows: list[dict] = []
 
             def emit(url, provider, member_index, kind, unit_index, status, error,
-                     landing_page=None, vals=None):
+                     landing_page=None, vals=None, version=None):
                 r = dict.fromkeys(out_names)
                 r.update(url=url, member_index=member_index, kind=kind,
                          unit_index=unit_index, status=status, error=error,
                          dataset_id=url, dataset_path=url,
-                         landing_page=landing_page, provider=provider)
+                         landing_page=landing_page, provider=provider,
+                         abcd_version=version)
                 if vals:
                     for name, h, _num in spec_cols:
                         if name in vals:
@@ -316,13 +369,15 @@ def extract_pages(
                         emit(url, provider, idx, "error", -1, "member_error", err)
                         continue
                     try:
-                        ds, units, landing = parse_abcd(flds, lpf, blob, proposal)
+                        ds, units, landing, ver = parse_abcd(flds, lpf, blob, proposal)
                     except ParseError as e:
                         emit(url, provider, idx, "error", -1, "parse_error", str(e))
                         continue
-                    emit(url, provider, idx, "dataset", -1, "ok", None, landing, ds)
+                    emit(url, provider, idx, "dataset", -1, "ok", None, landing, ds,
+                         version=ver)
                     for ui, u in enumerate(units):
-                        emit(url, provider, idx, "unit", ui, "ok", None, landing, u)
+                        emit(url, provider, idx, "unit", ui, "ok", None, landing, u,
+                             version=ver)
 
             out = pd.DataFrame(rows, columns=out_names)
             if len(out) == 0:

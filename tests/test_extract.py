@@ -69,9 +69,14 @@ def fields() -> AbcdFields:
 
 
 def test_golden_fixture_matches_reference_asserts():
-    ds, units, landing = parse_abcd(fields(), LANDING_PAGE_FIELD, golden_xml(), "proposal")
+    ds, units, landing, ver = parse_abcd(fields(), LANDING_PAGE_FIELD, golden_xml(), "proposal")
     # the exact asserts of abcd_parser.rs:260-297
     assert landing == LANDING_PAGE
+    # version sniff (abcd_parser.rs:62-78): the 2.06 URI is the SECOND
+    # attribute of the golden DataSets tag — the non-matching xsi URI before
+    # it must fall through, and the schemaLocation containing "2.06" as a
+    # substring must never match (exact value equality only)
+    assert ver == "2.06"
     assert ds["/DataSets/DataSet/TechnicalContacts/TechnicalContact/Name"] == TECHNICAL_CONTACT_NAME
     assert ds["/DataSets/DataSet/Metadata/Description/Representation/Title"] == DESCRIPTION_TITLE
     assert len(units) == 1
@@ -90,7 +95,7 @@ def test_golden_fixture_matches_reference_asserts():
 
 def test_landing_page_proposal_when_uri_absent():
     xml = golden_xml().replace(f"<abcd:URI>{LANDING_PAGE}</abcd:URI>".encode(), b"")
-    _, _, landing = parse_abcd(fields(), LANDING_PAGE_FIELD, xml, "proposal")
+    _, _, landing, _ = parse_abcd(fields(), LANDING_PAGE_FIELD, xml, "proposal")
     assert landing == "proposal"  # abcd_parser.rs:137-144 coalesce
 
 
@@ -108,29 +113,29 @@ def test_escaped_entities_not_unescaped():
     xml = golden_xml().replace(
         TECHNICAL_CONTACT_NAME.encode(), b"A &amp; B &lt;C&gt;"
     )
-    ds, _, _ = parse_abcd(fields(), LANDING_PAGE_FIELD, xml, "p")
+    ds, _, _, _ = parse_abcd(fields(), LANDING_PAGE_FIELD, xml, "p")
     assert ds["/DataSets/DataSet/TechnicalContacts/TechnicalContact/Name"] == "A &amp; B &lt;C&gt;"
 
 
 def test_numeric_parse_failure_drops_value():
     xml = golden_xml().replace(b"10.911", b"not-a-number")
-    _, units, _ = parse_abcd(fields(), LANDING_PAGE_FIELD, xml, "p")
+    _, units, _, _ = parse_abcd(fields(), LANDING_PAGE_FIELD, xml, "p")
     lon = "/DataSets/DataSet/Units/Unit/Gathering/SiteCoordinateSets/SiteCoordinates/CoordinatesLatLong/LongitudeDecimal"
     assert lon not in units[0]  # abcd_parser.rs:110-114: silent drop
 
 
 def test_self_closing_and_cdata_ignored():
     events = list(xml_events(b"<a><b/><c><![CDATA[hidden]]></c><d>kept</d></a>"))
-    kinds = [(k, p) for k, p in events]
+    kinds = [(k, p) for k, p, _ in events]
     assert ("start", b"b") not in kinds          # Event::Empty ignored
-    assert not any(k == "text" and b"hidden" in p for k, p in kinds)
+    assert not any(k == "text" and b"hidden" in p for k, p, _ in events)
     assert ("text", b"kept") in kinds
 
 
 def test_namespace_strip_matches_reference():
     events = list(xml_events(b"<ns:a xmlns:ns='x'><ns:b>v</ns:b></ns:a>"))
-    assert events[0] == ("start", b"a")
-    assert events[1] == ("start", b"b")
+    assert events[0] == ("start", b"a", b"xmlns:ns='x'")
+    assert events[1] == ("start", b"b", b"")
 
 
 def test_multiple_units_and_value_reset():
@@ -142,7 +147,7 @@ def test_multiple_units_and_value_reset():
         b"<abcd:Unit></abcd:Unit>"
         b"</abcd:Units></abcd:DataSet></abcd:DataSets>"
     )
-    _, units, _ = parse_abcd(fields(), LANDING_PAGE_FIELD, xml, "p")
+    _, units, _, _ = parse_abcd(fields(), LANDING_PAGE_FIELD, xml, "p")
     assert len(units) == 3
     assert units[0]["/DataSets/DataSet/Units/Unit/UnitID"] == "u1"
     assert units[1]["/DataSets/DataSet/Units/Unit/UnitID"] == "u2"
@@ -188,3 +193,43 @@ def test_zip_member_order_and_error_tolerance(spark):
         extract_pages(df, fields(), LANDING_PAGE_FIELD), fields()
     )
     assert ds.count() == 2 and un.count() == 2
+
+
+def test_abcd_version_sniff_variants():
+    # abcd_parser.rs:62-78: first attribute VALUE equal to a known TDWG URI
+    # wins; no attributes / unknown namespaces ⇒ Unknown (None here)
+    def v(xml: bytes):
+        _, _, _, ver = parse_abcd(fields(), LANDING_PAGE_FIELD, xml, "p")
+        return ver
+
+    base = b"<DataSet><Units><Unit></Unit></Units></DataSet></DataSets>"
+    assert v(b'<DataSets xmlns="http://www.tdwg.org/schemas/abcd/2.06">' + base) == "2.06"
+    assert v(b"<DataSets xmlns='http://www.tdwg.org/schemas/abcd/2.1'>" + base) == "2.1"
+    assert v(b"<DataSets>" + base) is None
+    assert v(b'<DataSets xmlns="http://example.org/other">' + base) is None
+    # 2.06 URI as a later attribute still matches (iteration, not first-only)
+    assert v(
+        b'<DataSets a="x" xmlns:abcd="http://www.tdwg.org/schemas/abcd/2.06">' + base
+    ) == "2.06"
+    # nested DataSets path elsewhere must not re-sniff: only /DataSets counts
+    assert v(
+        b'<DataSets><DataSet><Units><Unit></Unit></Units>'
+        b'<DataSets xmlns="http://www.tdwg.org/schemas/abcd/2.1"/>'
+        b"</DataSet></DataSets>"
+    ) is None
+
+
+def test_abcd_version_column_through_spark(spark):
+    from crawlspark.synth import golden_fields, page_row, LANDING_PAGE_FIELD as LPF
+    from crawlspark.extract import extract_pages
+
+    rows = [page_row(i, 2) for i in range(4)]
+    df = spark.createDataFrame(
+        [(r["url"], r["html"], "prov") for r in rows], ["url", "html", "provider"]
+    )
+    out = extract_pages(df, golden_fields(), LPF)
+    got = {(r["kind"], r["abcd_version"]) for r in out.collect()}
+    # synth template pins the 2.06 namespace; every PARSED row carries it
+    # (synth plants ~1% non-ABCD members → error rows with version NULL)
+    assert {("dataset", "2.06"), ("unit", "2.06")} <= got
+    assert got - {("error", None)} == {("dataset", "2.06"), ("unit", "2.06")}
