@@ -176,10 +176,10 @@ def q_s14b_surrogate_keys(spark, sf):
     from crawlspark.seen import dense_rank_range
 
     e = _t(spark, sf, "events")
-    # persisted: repartitionByRange samples its child in a separate job, which
-    # would otherwise recompute this aggregation twice (the cache is
-    # user-count-sized, tiny relative to events)
-    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts")).persist()
+    # dense_rank_range persists+counts its input itself and picks the
+    # single-window fast path for small key counts, the range-partitioned
+    # path beyond small_threshold (adaptive — see seen.py)
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
     return dense_rank_range(
         firsts, ["first_ts", "user_id"], out_col="surrogate_key"
     ).select("user_id", "first_ts", "surrogate_key")
@@ -599,6 +599,78 @@ def q_fingerprint_winnow(spark, sf):
     return winnow_fingerprints(_t(spark, sf, "documents"))
 
 
+def q_decontaminate(spark, sf):
+    # benchmark decontamination (GPT-3 appx C): eval set = every 97th doc;
+    # any training doc sharing a 5-gram with it is flagged. Broadcast-semi
+    # shape — no corpus shuffle beyond the id-only distinct.
+    from crawlspark.textops import decontaminate
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(d, bench, shingle_n=5).orderBy("doc_id")
+
+
+def q_domain_quota(spark, sf):
+    # per-domain contribution cap (C4 §2.3 style): top-20 docs per source by
+    # length, two-phase salted top-k (identical output to the single window)
+    from crawlspark.textops import domain_quota
+
+    return domain_quota(_t(spark, sf, "documents"), k=20).orderBy("doc_id")
+
+
+def q_split_assign(spark, sf):
+    # deterministic md5-bucket train/val/test split — reproducible under
+    # re-runs and repartitioning, portable to the SQL oracle
+    from crawlspark.textops import split_assign
+
+    return split_assign(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def q_pipeline_training_set(spark, sf):
+    # SECOND COMPOSED PIPELINE, fully SQL-oracle-expressible end-to-end:
+    # the "raw corpus → training set" chain a 100 TB curation run executes —
+    # Gopher quality gates → exact content dedup (first-seen keeper) →
+    # benchmark decontamination (broadcast 5-gram overlap vs the eval set)
+    # → per-domain quota cap (top-20 by length, salted two-phase) →
+    # deterministic md5-bucket train/val/test assignment. Unlike
+    # pipeline_curate (whose minhash stage needs a fixture mirror), every
+    # stage here has exact ANSI-SQL semantics, so the ORACLE IS THE WHOLE
+    # CHAIN — one DuckDB WITH-query validates the composition itself.
+    from crawlspark.textops import (
+        decontaminate,
+        domain_quota,
+        gopher_quality_rules,
+        split_assign,
+    )
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    # gated corpus persisted once: consumed by the keeper aggregation AND the
+    # survivor semi-join (same pattern as pipeline_curate, PLANS.md §pipeline)
+    gated = d.join(
+        gopher_quality_rules(d).filter("keep").select("doc_id"), "doc_id"
+    ).persist()
+    keepers = (
+        gated.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    uniq = gated.join(keepers, "doc_id", "left_semi")
+    clean = uniq.join(
+        decontaminate(uniq.select("doc_id", "text"), bench)
+        .filter(~F.col("contaminated"))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    quota = domain_quota(clean, k=20)
+    return (
+        quota.join(split_assign(quota), "doc_id")
+        .select("doc_id", "domain", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q_pipeline_curate(spark, sf):
     # FLAGSHIP COMPOSED PIPELINE: the actual LLM-curation chain, one plan —
     # gopher quality gates → MinHash-LSH near-dup pairs → connected-components
@@ -730,11 +802,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "ann_knn_join": q_ann_knn_join,
         "pipeline_curate": q_pipeline_curate,
+        "pipeline_training_set": q_pipeline_training_set,
         "gopher_quality": q_gopher_quality,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "decontaminate": q_decontaminate,
+        "domain_quota": q_domain_quota,
+        "split_assign": q_split_assign,
         "fingerprint_winnow": q_fingerprint_winnow,
         "multimodal_image": q_multimodal_image,
         "multimodal_png": q_multimodal_png,
@@ -1040,6 +1116,124 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, md5(text) AS md5_fp FROM documents
+        """,
+        # n-gram construction mirrors shingles_expr exactly: len(w)>=5 ⇒
+        # positional 5-grams; shorter ⇒ one whole-text gram (same CASE edge)
+        "decontaminate": """
+            WITH tok AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 5
+                            THEN array_to_string(list_slice(w, i, i + 4), ' ')
+                            ELSE array_to_string(w, ' ') END AS gram
+                FROM tok, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+            ),
+            bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+            cont AS (
+                SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)
+            )
+            SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN cont c USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "domain_quota": """
+            SELECT doc_id, domain FROM (
+                SELECT doc_id, source AS domain,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                       ) AS r
+                FROM documents
+            ) WHERE r <= 20 ORDER BY doc_id
+        """,
+        "split_assign": """
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 5 THEN 'test'
+                        WHEN bucket < 10 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                           % 100 AS bucket
+                FROM documents
+            ) ORDER BY doc_id
+        """,
+        # the WHOLE curation chain as one WITH-query: gates → exact dedup →
+        # decontamination → domain quota → split (validates the composition,
+        # not just each stage)
+        "pipeline_training_set": """
+            WITH feat AS (
+              SELECT doc_id, text, source, n_chars,
+                     len(string_split(text, ' ')) AS nw,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> regexp_matches(w, '[a-zA-Z]'))) AS aw,
+                     cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS bigint)
+                     + cast((length(p) - length(replace(p, ' and ', ''))) / 5 AS bigint)
+                     + cast((length(p) - length(replace(p, ' of ', ''))) / 4 AS bigint)
+                     + cast((length(p) - length(replace(p, ' to ', ''))) / 4 AS bigint)
+                     + cast((length(p) - length(replace(p, ' in ', ''))) / 4 AS bigint) AS sh
+              FROM (SELECT doc_id, text, source, n_chars,
+                           ' ' || text || ' ' AS p FROM documents)
+            ),
+            gated AS (
+              SELECT doc_id, text, source, n_chars FROM feat
+              WHERE nw >= 20 AND nw <= 100000
+                AND length(text) * 1.0 / nw >= 3.0
+                AND length(text) * 1.0 / nw <= 10.0
+                AND aw * 1.0 / nw >= 0.8 AND sh >= 2
+            ),
+            keepers AS (
+              SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+            ),
+            uniq AS (SELECT gated.* FROM gated JOIN keepers USING (doc_id)),
+            tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM uniq),
+            btok AS (
+              SELECT string_split(text, ' ') AS w FROM documents
+              WHERE doc_id % 97 = 0
+            ),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 5
+                          THEN array_to_string(list_slice(w, i, i + 4), ' ')
+                          ELSE array_to_string(w, ' ') END AS gram
+              FROM tok, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+            ),
+            bgrams AS (
+              SELECT DISTINCT
+                     CASE WHEN len(w) >= 5
+                          THEN array_to_string(list_slice(w, i, i + 4), ' ')
+                          ELSE array_to_string(w, ' ') END AS gram
+              FROM btok, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+            ),
+            cont AS (
+              SELECT DISTINCT grams.doc_id FROM grams JOIN bgrams USING (gram)
+            ),
+            clean AS (
+              SELECT * FROM uniq
+              WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+            ),
+            quota AS (
+              SELECT doc_id, domain FROM (
+                SELECT doc_id, source AS domain,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                       ) AS r
+                FROM clean
+              ) WHERE r <= 20
+            )
+            SELECT doc_id, domain,
+                   CASE WHEN b < 5 THEN 'test'
+                        WHEN b < 10 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM (
+              SELECT doc_id, domain,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                         % 100 AS b
+              FROM quota
+            ) ORDER BY doc_id
         """,
         # xxhash64-based sketches and the pandas-UDF extraction are not
         # ANSI-SQL-expressible; their oracles are INDEPENDENT pure-Python

@@ -347,8 +347,31 @@ def run_queries() -> dict[str, float]:
 
     spark = get_spark("bench-queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     qs = entrymod.queries()
-    # warm up
+    # Warm up the JVM, not the data: the first execution of each heavyweight
+    # executor path (window exec, repartitionByRange + its sampling job,
+    # persist materialization, broadcast + sort-merge join, noop write) pays
+    # several seconds of C2/codegen compilation — measured 7.8 s vs 1.4 s
+    # steady-state for the IDENTICAL s14b plan (round-5 profiling). One tiny
+    # synthetic query exercising all those paths moves that one-time cost out
+    # of the first timed rows (s14b/s22b were absorbing it in rounds 3-5).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    warm = spark.range(0, 200_000, 1, CPUS).withColumn("k", F.col("id") % 1000)
+    firsts = warm.groupBy("k").agg(F.min("id").alias("v")).persist()
+    ranked = (
+        firsts.repartitionByRange("v", "k")
+        .withColumn("r", F.row_number().over(
+            Window.partitionBy(F.col("k") % 16).orderBy("v", "k")))
+    )
+    (
+        ranked.join(F.broadcast(firsts.limit(100)), "k")   # broadcast hash join
+        .join(warm, "k")                                   # sort-merge join
+        .write.format("noop").mode("overwrite").save()
+    )
+    firsts.unpersist()
+    spark.catalog.clearCache()
     # best-of-N per query, all caches dropped before every execution (so each
     # sample is a cold plan, not a warm-cache rerun): the sandbox host stalls
     # for minutes at a time under hypervisor steal — a single sample once

@@ -1271,3 +1271,117 @@ def winnow_fingerprints(
 
     fps = F.array_distinct(_bind_once(hs, windows))
     return documents.select("doc_id", F.explode(fps).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: decontamination, domain quotas, split assignment
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (the GPT-3 appendix-C /
+    PaLM / Llama eval-leakage guard, public method): a training document is
+    contaminated iff it shares at least one word ``shingle_n``-gram with any
+    benchmark document. Returns (doc_id, contaminated) for every input doc.
+
+    Scale shape (100 TB corpus, benchmark ≪ corpus): the benchmark gram set
+    is distinct-hashed and BROADCAST — eval suites are at most millions of
+    grams — so the corpus side is a map-only explode + broadcast LEFT SEMI
+    join with NO corpus shuffle; the only exchange is the id-only distinct of
+    contaminated ids (cardinality ≤ corpus rows, few bytes/row), then an
+    id-only broadcast-unfriendly join back is avoided by LEFT SEMI/ANTI on
+    doc_id. Gram arrays are ``array_distinct``-ed per doc before the explode
+    so boilerplate repetition inside one doc costs one row, not many.
+
+    Short docs follow shingles_expr's own edge rule (fewer than ``shingle_n``
+    words ⇒ one whole-text gram), so a benchmark doc is always contaminated
+    by its own presence in the corpus — the property decontamination exists
+    to enforce.
+    """
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        g = F.explode(
+            F.array_distinct(shingles_expr(F.col("text"), shingle_n))
+        ).alias("gram")
+        cols = (["doc_id", g] if keep_id else [g])
+        return df.select(*cols)
+
+    bench_grams = (
+        grams(benchmark, keep_id=False)
+        .select(F.md5("gram").alias("gram_hash"))
+        .distinct()
+    )
+    contaminated = (
+        grams(documents, keep_id=True)
+        .select("doc_id", F.md5("gram").alias("gram_hash"))
+        .join(F.broadcast(bench_grams), "gram_hash", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return documents.select("doc_id").join(
+        contaminated.withColumn("contaminated", F.lit(True)), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )
+
+
+def domain_quota(documents: DataFrame, k: int = 50,
+                 domain_col: str = "source") -> DataFrame:
+    """Per-domain contribution cap (C4 §2.3 / RefinedWeb §3.1 style: no
+    single site may dominate the corpus): keep at most ``k`` docs per domain,
+    preferring longer documents (``n_chars`` desc, ``doc_id`` asc as the
+    deterministic tiebreak). Returns the surviving (doc_id, domain) rows.
+
+    Scale shape: a single global window over a mega-domain serializes one
+    task, so the top-k runs in TWO phases (the scheduler's salted politeness
+    top-k pattern, scheduler.py): phase 1 takes a local top-k inside each
+    (domain, salt) group — bounding every task at O(k) survivors per salt —
+    and phase 2 takes the true top-k over the ≤ SALTS*k finalists per
+    domain. Output is identical to the single-window plan for every input
+    (both phases use the same total order; any true top-k row is in its
+    salt's top-k).
+    """
+    SALTS = 32
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    base = documents.select("doc_id", F.col(domain_col).alias("domain"), "n_chars")
+    salted = Window.partitionBy(
+        "domain", (F.col("doc_id") % SALTS).alias("salt")
+    ).orderBy(*order)
+    finalists = (
+        base.withColumn("r", F.row_number().over(salted))
+        .filter(F.col("r") <= k)
+        .drop("r")
+    )
+    final = Window.partitionBy("domain").orderBy(*order)
+    return (
+        finalists.withColumn("r", F.row_number().over(final))
+        .filter(F.col("r") <= k)
+        .select("doc_id", "domain")
+    )
+
+
+def split_assign(documents: DataFrame, val_pct: int = 5,
+                 test_pct: int = 5) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free id hashing —
+    the standard reproducible-split idiom for training corpora (stable under
+    re-runs, insertions and partitioning, unlike randomSplit whose output
+    depends on partition layout). Bucket = first 4 hex digits of
+    md5(doc_id-as-string) mod 100; buckets [0, test) → test, [test,
+    test+val) → val, rest → train. md5 keeps the hash portable to the ANSI
+    SQL oracle (DuckDB computes the identical bytes). Pure projection: no
+    shuffle, no state, safe at any scale.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    return documents.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < test_pct, "test")
+        .when(bucket < test_pct + val_pct, "val")
+        .otherwise("train")
+        .alias("split"),
+    )

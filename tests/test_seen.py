@@ -137,6 +137,19 @@ def test_dense_rank_variants_agree(spark):
         assert ra[row[3]] == rank
 
 
+def test_dense_rank_adaptive_paths_identical(spark):
+    """The adaptive fast path (single window, input ≤ small_threshold) and
+    the range-partitioned path must produce IDENTICAL ranks — forced here by
+    running the same input through both thresholds."""
+    data = [(f"h{i % 7}", (i * 13) % 5, f"k{i:03d}") for i in range(211)]
+    df = spark.createDataFrame(data, ["host", "priority", "k"])
+    fast = dense_rank_range(df, ["host", "priority", "k"], out_col="seq",
+                            offset=3)                      # 211 ≤ default
+    ranged = dense_rank_range(df, ["host", "priority", "k"], out_col="seq",
+                              offset=3, small_threshold=0)  # force range path
+    assert _ranks(fast.collect()) == _ranks(ranged.collect())
+
+
 # ---------------------------------------------------------------------------
 # cuckoo filter (deletable seen-set prefilter)
 # ---------------------------------------------------------------------------

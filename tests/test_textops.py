@@ -701,3 +701,96 @@ def test_line_dedup(spark):
     assert got3[1]["text"] == "unique one. body of one. FOOTER"
     assert got3[2]["text"] == "unique two. FOOTER"
     assert got3[4]["text"] == ""
+
+
+# ---------------------------------------------------------------------------
+# decontamination / domain quota / split assignment
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_ngram_overlap(spark):
+    from crawlspark.textops import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a totally different document about spark engines here"),
+            (3, "prefix words then quick brown fox jumps over suffix tail"),
+            (4, "short doc"),  # < 5 words: whole-text gram
+            (5, "short doc"),  # identical short doc in benchmark → both hit
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "quick brown fox jumps over"),  # exactly one 5-gram
+            (101, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["contaminated"] for r in decontaminate(docs, bench).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: True, 5: True}
+
+
+def test_decontaminate_benchmark_in_corpus_always_flagged(spark):
+    from crawlspark.textops import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} unique words alpha beta gamma delta {i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    bench = docs.filter("doc_id % 5 = 0")
+    got = {r["doc_id"]: r["contaminated"] for r in decontaminate(docs, bench).collect()}
+    for i in range(20):
+        if i % 5 == 0:
+            assert got[i], f"benchmark doc {i} must self-flag"
+    assert len(got) == 20
+
+
+def test_domain_quota_matches_single_window(spark):
+    from pyspark.sql import Window, functions as F
+    from crawlspark.textops import domain_quota
+
+    # skewed domains: one mega-domain (200 docs), several small
+    rows = [(i, "mega", (i * 37) % 500) for i in range(200)]
+    rows += [(1000 + i, f"d{i % 7}", (i * 11) % 300) for i in range(70)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = {(r["doc_id"], r["domain"]) for r in domain_quota(docs, k=10).collect()}
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    want = {
+        (r["doc_id"], r["source"])
+        for r in docs.withColumn("r", F.row_number().over(w))
+        .filter("r <= 10")
+        .collect()
+    }
+    assert got == want
+    # cap respected per domain
+    from collections import Counter
+    per = Counter(d for _, d in got)
+    assert all(v <= 10 for v in per.values())
+    assert per["mega"] == 10
+
+
+def test_split_assign_deterministic_and_partition_invariant(spark):
+    from crawlspark.textops import split_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(500)], ["doc_id", "text"]
+    )
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in split_assign(docs).collect()}
+    b = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in split_assign(docs.repartition(13)).collect()
+    }
+    assert a == b  # invariant under partitioning
+    splits = [s for _, s in a.values()]
+    # roughly 5/5/90 (md5 is uniform; 500 ids → loose bounds)
+    assert 0.02 < splits.count("test") / 500 < 0.10
+    assert 0.02 < splits.count("val") / 500 < 0.10
+    assert splits.count("train") / 500 > 0.8
+    # buckets in range and consistent with split labels
+    for bkt, s in a.values():
+        assert 0 <= bkt < 100
+        assert s == ("test" if bkt < 5 else "val" if bkt < 10 else "train")

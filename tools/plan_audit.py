@@ -323,6 +323,42 @@ def main() -> None:
            and "BroadcastNestedLoopJoin Cross" not in p)])
     )
 
+    # 19. benchmark decontamination: benchmark gram set broadcast, corpus side
+    #     map-only up to the id-only distinct (no corpus-sized shuffle)
+    from crawlspark.textops import decontaminate, domain_quota, split_assign
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = decontaminate(docs, docs.filter(F.col("doc_id") % 97 == 0))
+    p = fmt(q)
+    sections.append(
+        ("Decontamination: broadcast-semi gram probe, id-only shuffle", p,
+         [("benchmark gram side is BROADCAST into a semi join",
+           "BroadcastHashJoin" in p and "LeftSemi" in p),
+          ("grams stay JVM-side (no Python operator)",
+           "MapInPandas" not in p and "BatchEvalPython" not in p),
+          ("no cartesian product", "CartesianProduct" not in p)])
+    )
+
+    # 20. domain quota: two-phase salted top-k — no single-partition exchange
+    q = domain_quota(docs, k=20)
+    p = fmt(q)
+    sections.append(
+        ("Domain quota: salted two-phase top-k (skew-safe)", p,
+         [("two windowed row_number phases", p.count("Window") >= 2),
+          ("never collapses to one partition",
+           "Exchange SinglePartition" not in p),
+          ("no Python operator", "MapInPandas" not in p and "BatchEvalPython" not in p)])
+    )
+
+    # 21. split assignment: pure projection — zero exchanges
+    q = split_assign(docs)
+    p = fmt(q)
+    sections.append(
+        ("Train/val/test split: shuffle-free pure projection", p,
+         [("no Exchange anywhere", "Exchange" not in p),
+          ("whole-stage codegen", "codegen id" in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
