@@ -626,6 +626,45 @@ def q_split_assign(spark, sf):
     return split_assign(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+def q_repetition_rules(spark, sf):
+    # Gopher §A1.2 repetition gates — shuffle-free sorted-array folds (no
+    # (doc_id, line) exchange); oracle recomputes via unnest + GROUP BY
+    from crawlspark.textops import repetition_rules
+
+    return repetition_rules(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def q_pii_redact(spark, sf):
+    # PII scrub audit: deterministic synthetic PII appended per doc (the
+    # corpus itself is clean) so email/IP/phone branches all fire; identical
+    # footer is built in the oracle SQL
+    from crawlspark.textops import pii_redact
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" tel 555-01"),
+                            (F.col("doc_id") % 10).cast("string"),
+                            F.lit("-4242")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(d).orderBy("doc_id")
+
+
+def q_pack_sequences(spark, sf):
+    # GPT-2 concat-and-chunk packing: global exclusive token prefix sum +
+    # ctx-2048 sequence index (adaptive: window small, range-partitioned big)
+    from crawlspark.textops import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), ctx=2048).orderBy("doc_id")
+
+
 def q_pipeline_training_set(spark, sf):
     # SECOND COMPOSED PIPELINE, fully SQL-oracle-expressible end-to-end:
     # the "raw corpus → training set" chain a 100 TB curation run executes —
@@ -811,6 +850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "domain_quota": q_domain_quota,
         "split_assign": q_split_assign,
+        "repetition_rules": q_repetition_rules,
+        "pii_redact": q_pii_redact,
+        "pack_sequences": q_pack_sequences,
         "fingerprint_winnow": q_fingerprint_winnow,
         "multimodal_image": q_multimodal_image,
         "multimodal_png": q_multimodal_png,
@@ -1157,6 +1199,129 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
                            % 100 AS bucket
+                FROM documents
+            ) ORDER BY doc_id
+        """,
+        # duplicate-line + top-n-gram repetition features recomputed the
+        # textbook way (unnest + GROUP BY) — an independent formulation of
+        # the same pinned definitions as the shuffle-free fold
+        "repetition_rules": """
+            WITH lines AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                FROM documents
+            ),
+            lstats AS (
+                SELECT doc_id, count(*) AS n_lines,
+                       count(*) - count(DISTINCT l) AS dup_lines,
+                       sum(length(l)) AS line_chars
+                FROM lines GROUP BY doc_id
+            ),
+            ldup AS (
+                SELECT doc_id, sum((c - 1) * length(l)) AS dup_line_chars
+                FROM (SELECT doc_id, l, count(*) AS c
+                      FROM lines GROUP BY doc_id, l)
+                GROUP BY doc_id
+            ),
+            tok AS (
+                SELECT doc_id, string_split(text, ' ') AS w,
+                       length(text) AS n_chars
+                FROM documents
+            ),
+            g2 AS (
+                SELECT doc_id, max(c * length(g)) AS best FROM (
+                    SELECT doc_id,
+                           array_to_string(list_slice(w, i, i + 1), ' ') AS g,
+                           count(*) AS c
+                    FROM tok, unnest(generate_series(1, len(w) - 1)) AS t(i)
+                    GROUP BY doc_id, g HAVING count(*) >= 2
+                ) GROUP BY doc_id
+            ),
+            g3 AS (
+                SELECT doc_id, max(c * length(g)) AS best FROM (
+                    SELECT doc_id,
+                           array_to_string(list_slice(w, i, i + 2), ' ') AS g,
+                           count(*) AS c
+                    FROM tok, unnest(generate_series(1, len(w) - 2)) AS t(i)
+                    GROUP BY doc_id, g HAVING count(*) >= 2
+                ) GROUP BY doc_id
+            ),
+            feat AS (
+                SELECT t.doc_id,
+                       ls.n_lines, ls.dup_lines,
+                       round(ls.dup_lines * 1.0 / ls.n_lines, 6) AS dup_line_frac,
+                       round(CASE WHEN ls.line_chars > 0
+                             THEN coalesce(ld.dup_line_chars, 0) * 1.0 / ls.line_chars
+                             ELSE 0.0 END, 6) AS dup_line_char_frac,
+                       round(CASE WHEN t.n_chars > 0
+                             THEN coalesce(g2.best, 0) * 1.0 / t.n_chars
+                             ELSE 0.0 END, 6) AS top2gram_char_frac,
+                       round(CASE WHEN t.n_chars > 0
+                             THEN coalesce(g3.best, 0) * 1.0 / t.n_chars
+                             ELSE 0.0 END, 6) AS top3gram_char_frac
+                FROM tok t
+                JOIN lstats ls USING (doc_id)
+                LEFT JOIN ldup ld USING (doc_id)
+                LEFT JOIN g2 ON g2.doc_id = t.doc_id
+                LEFT JOIN g3 ON g3.doc_id = t.doc_id
+            )
+            SELECT doc_id, n_lines, dup_lines, dup_line_frac,
+                   dup_line_char_frac, top2gram_char_frac, top3gram_char_frac,
+                   dup_line_frac <= 0.30 AS ok_dup_lines,
+                   dup_line_char_frac <= 0.20 AS ok_dup_line_chars,
+                   top2gram_char_frac <= 0.20 AS ok_top2gram,
+                   top3gram_char_frac <= 0.18 AS ok_top3gram,
+                   (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+                    AND top2gram_char_frac <= 0.20
+                    AND top3gram_char_frac <= 0.18) AS keep
+            FROM feat ORDER BY doc_id
+        """,
+        # identical footer construction + the identical Java/RE2-common
+        # patterns, applied in the same pinned order (email → IP → phone)
+        "pii_redact": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact u' || CAST(doc_id AS VARCHAR)
+                       || '@example.com at 10.0.0.'
+                       || CAST(doc_id % 256 AS VARCHAR)
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' tel 555-01' || CAST(doc_id % 10 AS VARCHAR)
+                                    || '-4242'
+                               ELSE '' END AS text
+                FROM documents
+            ),
+            e AS (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM aug
+            ),
+            i AS (
+                SELECT doc_id, n_emails,
+                       len(regexp_extract_all(t1,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips,
+                       regexp_replace(t1,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS t2
+                FROM e
+            )
+            SELECT doc_id, n_emails, n_ips,
+                   len(regexp_extract_all(t2, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phones,
+                   regexp_replace(t2, '\\b\\d{3}-\\d{3}-\\d{4}\\b',
+                                  '<PHONE>', 'g') AS redacted
+            FROM i ORDER BY doc_id
+        """,
+        "pack_sequences": """
+            SELECT doc_id, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS start_offset,
+                   CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_index
+            FROM (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       sum(len(string_split(text, ' ')))
+                           OVER (ORDER BY doc_id) AS cum
                 FROM documents
             ) ORDER BY doc_id
         """,

@@ -1385,3 +1385,237 @@ def split_assign(documents: DataFrame, val_pct: int = 5,
         .otherwise("train")
         .alias("split"),
     )
+
+# ---------------------------------------------------------------------------
+# repetition filters, PII redaction, sequence packing
+# ---------------------------------------------------------------------------
+
+def repetition_rules(
+    documents: DataFrame,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2gram_char_frac: float = 0.20,
+    max_top3gram_char_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition gates (Rae et al. 2021 §A1.2, public rule
+    family): duplicate-line fraction, duplicate-line CHARACTER fraction, and
+    the character coverage of the most-repeated word 2-gram / 3-gram.
+
+    Scale shape — SHUFFLE-FREE: the textbook implementation explodes lines /
+    n-grams and re-aggregates by (doc_id, value), a corpus-sized exchange.
+    Here every feature folds over a per-doc ``array_sort``-ed array (equal
+    values become adjacent, so duplicate counting is one zip of the array
+    against itself shifted by one, and the top n-gram is a longest-equal-run
+    fold) — O(n log n) per document inside whole-stage codegen, ZERO
+    exchanges at any corpus size. Each sorted array feeds exactly one
+    expression (HOF columns get no subexpression elimination — the
+    _bind_once rule), and the per-doc features are built as ONE struct then
+    expanded in a separate projection (CollapseProject keeps non-cheap
+    producers un-inlined, so the struct is evaluated once).
+
+    Definitions (pinned so the DuckDB oracle matches bit-for-bit):
+    duplicate line = any occurrence beyond a line's first (frac over total
+    lines; char frac over total line chars); top n-gram coverage =
+    max over grams occurring >= 2 times of count*len(gram) / len(text)
+    (0 when nothing repeats, the doc has fewer than n words, or is empty —
+    a gram seen once is not repetition). Ratios rounded to 6 places like
+    gopher_quality_rules."""
+
+    def _dup_line_struct(s):
+        # s = sorted line array: occurrence i>1 of a line sits next to i-1
+        n = F.size(s)
+        rep = F.zip_with(
+            F.slice(s, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(s, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(
+                F.when(a == b, 1).otherwise(0).alias("c"),
+                F.when(a == b, F.length(b)).otherwise(0).alias("ch"),
+            ),
+        )
+        zero = F.struct(F.lit(0).cast("long").alias("c"),
+                        F.lit(0).cast("long").alias("ch"))
+        tot = F.aggregate(
+            rep, zero,
+            lambda acc, x: F.struct((acc["c"] + x["c"]).alias("c"),
+                                    (acc["ch"] + x["ch"]).alias("ch")),
+        )
+        chars = F.aggregate(s, F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x))
+        return F.struct(
+            n.cast("long").alias("n_lines"),
+            tot["c"].alias("dup_lines"),
+            tot["ch"].alias("dup_line_chars"),
+            chars.alias("line_chars"),
+        )
+
+    def _top_run_chars(s):
+        # longest equal-run fold over the sorted gram array, scored by
+        # run_length * len(gram) for runs of length >= 2 ONLY (a gram seen
+        # once is not repetition — without this, every short doc's longest
+        # single gram fails the gate); returns max score (0 for empty array)
+        zero = F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+        fold = F.aggregate(
+            s, zero,
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"],
+                           (acc["run"] + 1) * F.length(x))
+                    .otherwise(F.lit(0).cast("long")),
+                ).alias("best"),
+            ),
+        )
+        return fold["best"]
+
+    def _grams(n):
+        # strict n-grams: EMPTY array (not the whole-text fallback) below n
+        # words, so short docs score 0 repetition rather than 1.0
+        words = F.split(F.col("text"), " ")
+        k = F.size(words) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    feats = F.struct(
+        _bind_once(F.array_sort(F.split(F.col("text"), "\n")),
+                   _dup_line_struct).alias("ln"),
+        _bind_once(F.array_sort(_grams(2)), _top_run_chars).alias("g2"),
+        _bind_once(F.array_sort(_grams(3)), _top_run_chars).alias("g3"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    base = documents.select("doc_id", feats.alias("_r"))
+
+    r = F.col("_r")
+    dup_line_frac = F.round(r["ln"]["dup_lines"] / r["ln"]["n_lines"], 6)
+    dup_char_frac = F.round(
+        F.when(r["ln"]["line_chars"] > 0,
+               r["ln"]["dup_line_chars"] / r["ln"]["line_chars"])
+        .otherwise(0.0), 6)
+    top2 = F.round(
+        F.when(r["n_chars"] > 0, r["g2"] / r["n_chars"]).otherwise(0.0), 6)
+    top3 = F.round(
+        F.when(r["n_chars"] > 0, r["g3"] / r["n_chars"]).otherwise(0.0), 6)
+    ok_dl = dup_line_frac <= max_dup_line_frac
+    ok_dc = dup_char_frac <= max_dup_line_char_frac
+    ok_g2 = top2 <= max_top2gram_char_frac
+    ok_g3 = top3 <= max_top3gram_char_frac
+    return base.select(
+        "doc_id",
+        r["ln"]["n_lines"].alias("n_lines"),
+        r["ln"]["dup_lines"].alias("dup_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"),
+        top2.alias("top2gram_char_frac"),
+        top3.alias("top3gram_char_frac"),
+        ok_dl.alias("ok_dup_lines"),
+        ok_dc.alias("ok_dup_line_chars"),
+        ok_g2.alias("ok_top2gram"),
+        ok_g3.alias("ok_top3gram"),
+        (ok_dl & ok_dc & ok_g2 & ok_g3).alias("keep"),
+    )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """PII scrubbing for published training corpora (the BigScience ROOTS /
+    RefinedWeb release step, public method): replace emails, IPv4 addresses
+    and NANP-style phone numbers with typed placeholder tokens, and report
+    per-doc match counts (the audit trail release pipelines keep).
+
+    The three patterns are deliberately restricted to the regex subset where
+    Java (Spark) and RE2 (DuckDB/Go) agree byte-for-byte — char classes,
+    bounded repetition, ``\\b`` — so the oracle runs the IDENTICAL patterns.
+    Order matters and is pinned: emails first (an email can embed digit
+    runs), then IPs (dotted, can't overlap the dashed phone form), then
+    phones. Pure projection: one regexp pass per pattern inside whole-stage
+    codegen, no shuffle, no Python."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+                PII_IPV4, "<IP>"),
+            F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    ctx: int = 2048,
+    small_threshold: int = 2_000_000,
+    keep: list | None = None,
+) -> DataFrame:
+    """GPT-2-style concat-and-chunk sequence packing: documents in doc_id
+    order are laid head-to-tail on one global token axis; each doc gets its
+    exclusive start offset and the index of the fixed-``ctx`` training
+    sequence its first token lands in. The writer that materializes packed
+    sequences groups by ``seq_index`` downstream; this operator computes the
+    assignment, which is the distributed-hard part (a global prefix sum).
+
+    Scale shape — the dense_rank_range pattern applied to SUMS: adaptive
+    single-window fast path at/below ``small_threshold`` docs, else
+    range-repartition by doc_id + per-partition running sum + exclusive
+    partition offsets from the triangular metadata join
+    (seen._cumsum_offsets — O(p²) over a shuffle-partition-count-sized
+    frame, never a global window). Token counts here are whitespace tokens
+    (size(split)) — the same public approximation token_count uses; a BPE
+    UDF slots in by swapping the count expression."""
+    from crawlspark.seen import _cumsum_offsets
+
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    src = documents.select("doc_id", toks.alias("n_tokens")).persist()
+    if keep is not None:
+        keep.append(src)
+    out_cols = [
+        "doc_id", "n_tokens",
+        (F.col("_cum") - F.col("n_tokens")).alias("start_offset"),
+        F.floor((F.col("_cum") - F.col("n_tokens")) / ctx)
+        .cast("long").alias("seq_index"),
+    ]
+    if src.count() <= small_threshold:
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        return src.withColumn("_cum", F.sum("n_tokens").over(w)).select(*out_cols)
+    d = (
+        src.repartitionByRange("doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    if keep is not None:
+        keep.append(d)
+    sums = d.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptok"))
+    offsets = _cumsum_offsets(sums, [("_ptok", "_off")])
+    w_local = (
+        Window.partitionBy("_pid").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("_lcum", F.sum("n_tokens").over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("_cum", F.col("_lcum") + F.col("_off"))
+        .select(*out_cols)
+    )

@@ -794,3 +794,124 @@ def test_split_assign_deterministic_and_partition_invariant(spark):
     for bkt, s in a.values():
         assert 0 <= bkt < 100
         assert s == ("test" if bkt < 5 else "val" if bkt < 10 else "train")
+
+
+# ---------------------------------------------------------------------------
+# repetition rules / PII redaction / sequence packing
+# ---------------------------------------------------------------------------
+
+def test_repetition_rules_features(spark):
+    from crawlspark.textops import repetition_rules
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "dup" 3× → dup_lines=2, dup chars 6/ (3+5+3+3)=14
+            (1, "dup\nfresh\ndup\ndup"),
+            (2, "a perfectly normal line\nanother normal line"),
+            # "spam ham" 2-gram repeats: words s h s h s h → top 2-gram
+            # "spam ham" count 3 (overlapping), len 8 → 24/26 chars
+            (3, "spam ham spam ham spam ham"),
+            (4, "one"),       # <2 words: no grams, frac 0
+            (5, ""),          # empty: all fracs 0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_rules(docs).collect()}
+    r1 = got[1]
+    assert r1["n_lines"] == 4 and r1["dup_lines"] == 2
+    assert r1["dup_line_frac"] == 0.5
+    assert r1["dup_line_char_frac"] == round(6 / 14, 6)
+    assert not r1["ok_dup_lines"] and not r1["keep"]
+    r2 = got[2]
+    assert r2["dup_lines"] == 0 and r2["dup_line_frac"] == 0.0
+    assert r2["keep"]
+    r3 = got[3]
+    assert r3["top2gram_char_frac"] == round(3 * len("spam ham") / 26, 6)
+    assert not r3["ok_top2gram"] and not r3["keep"]
+    assert got[4]["top2gram_char_frac"] == 0.0 and got[4]["keep"]
+    r5 = got[5]
+    assert r5["n_lines"] == 1 and r5["dup_line_char_frac"] == 0.0
+    assert r5["top2gram_char_frac"] == 0.0 and r5["keep"]
+
+
+def test_repetition_rules_python_mirror(spark):
+    """Textbook counter-based recomputation must agree with the sorted-array
+    folds on varied synthetic docs (the oracle's formulation)."""
+    from collections import Counter
+    from crawlspark.textops import repetition_rules
+
+    rows = []
+    for i in range(40):
+        words = [f"w{(i * j) % 7}" for j in range(i % 13)]
+        lines = [" ".join(words[k:k + 3]) for k in range(0, len(words), 2)]
+        rows.append((i, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in repetition_rules(docs).collect()}
+    for i, text in rows:
+        lines = text.split("\n")
+        lc = Counter(lines)
+        dup_lines = sum(c - 1 for c in lc.values())
+        line_chars = sum(len(x) for x in lines)
+        dup_chars = sum((c - 1) * len(x) for x, c in lc.items())
+        w = text.split(" ")
+        for n, col in [(2, "top2gram_char_frac"), (3, "top3gram_char_frac")]:
+            grams = [" ".join(w[k:k + n]) for k in range(len(w) - n + 1)]
+            best = max(
+                (c * len(g) for g, c in Counter(grams).items() if c >= 2),
+                default=0,
+            )
+            want = round(best / len(text), 6) if len(text) else 0.0
+            assert got[i][col] == want, (i, col)
+        assert got[i]["dup_lines"] == dup_lines, i
+        assert got[i]["dup_line_char_frac"] == (
+            round(dup_chars / line_chars, 6) if line_chars else 0.0
+        ), i
+
+
+def test_pii_redact(spark):
+    from crawlspark.textops import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org or b@x.io now"),
+            (2, "server 192.168.1.200 and 10.0.0.7 up"),
+            (3, "call 555-123-4567 today"),
+            (4, "mixed: c@d.com at 8.8.8.8 tel 555-000-1111"),
+            (5, "no pii here, just words and 12345"),
+            (6, "version 1.2.3 is not an ip, 1.2.3.4 is"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_redact(docs).collect()}
+    assert got[1]["n_emails"] == 2
+    assert got[1]["redacted"] == "mail <EMAIL> or <EMAIL> now"
+    assert got[2]["n_ips"] == 2
+    assert got[2]["redacted"] == "server <IP> and <IP> up"
+    assert got[3]["n_phones"] == 1
+    assert got[3]["redacted"] == "call <PHONE> today"
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (1, 1, 1)
+    assert got[4]["redacted"] == "mixed: <EMAIL> at <IP> tel <PHONE>"
+    assert got[5]["redacted"] == got[5]["redacted"] and got[5]["n_emails"] == 0
+    assert got[6]["n_ips"] == 1
+    assert got[6]["redacted"] == "version 1.2.3 is not an ip, <IP> is"
+
+
+def test_pack_sequences(spark):
+    from crawlspark.textops import pack_sequences
+
+    # token counts: doc i has (i % 5) + 1 words
+    rows = [(i, " ".join(f"t{j}" for j in range((i % 5) + 1))) for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in
+           pack_sequences(docs, ctx=16).collect()}
+    cum = 0
+    for i, text in rows:
+        nt = len(text.split(" "))
+        assert got[i]["n_tokens"] == nt
+        assert got[i]["start_offset"] == cum, i
+        assert got[i]["seq_index"] == cum // 16, i
+        cum += nt
+    # adaptive paths identical
+    ranged = {r["doc_id"]: r.asDict() for r in
+              pack_sequences(docs, ctx=16, small_threshold=0).collect()}
+    assert got == ranged

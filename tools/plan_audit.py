@@ -359,6 +359,43 @@ def main() -> None:
           ("whole-stage codegen", "codegen id" in p)])
     )
 
+    # 22. repetition gates: sorted-array folds — ZERO exchanges at any
+    #     corpus size (the textbook explode+regroup shape would shuffle the
+    #     whole corpus on (doc_id, line))
+    from crawlspark.textops import pack_sequences, pii_redact, repetition_rules
+
+    q = repetition_rules(docs)
+    p = fmt(q)
+    sections.append(
+        ("Repetition gates: shuffle-free per-doc sorted-array folds", p,
+         [("no Exchange anywhere", "Exchange" not in p),
+          ("no Python operator",
+           "MapInPandas" not in p and "BatchEvalPython" not in p)])
+    )
+
+    # 23. PII redaction: pure regexp projection
+    q = pii_redact(docs)
+    p = fmt(q)
+    sections.append(
+        ("PII redaction: shuffle-free regexp projection", p,
+         [("no Exchange anywhere", "Exchange" not in p),
+          ("whole-stage codegen", "codegen id" in p)])
+    )
+
+    # 24. sequence packing AT SCALE (small_threshold=0 forces the range
+    #     path): per-partition running sums + triangular metadata offsets —
+    #     no global single-partition window over the corpus
+    q = pack_sequences(docs, ctx=2048, small_threshold=0)
+    p = fmt(q)
+    sections.append(
+        ("Sequence packing (range path): partitioned prefix sum", p,
+         [("window is partition-local (never SinglePartition over the corpus)",
+           "Exchange SinglePartition" not in p),
+          ("partition offsets are broadcast back", "BroadcastExchange" in p),
+          ("no Python operator",
+           "MapInPandas" not in p and "BatchEvalPython" not in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
