@@ -665,6 +665,93 @@ def q_pack_sequences(spark, sf):
     return pack_sequences(_t(spark, sf, "documents"), ctx=2048).orderBy("doc_id")
 
 
+def q_substring_dedup(spark, sf):
+    # Lee et al. 2021 ExactSubstr (window relaxation, keep-first): corpus
+    # with doc-unique prefixes of varying length (12-14 tokens, so the shared
+    # span lands at three different window alignments) plus a 14-token span
+    # shared by every doc_id%5==0 document — long enough (>= window+stride-1)
+    # that EVERY alignment contains duplicated windows. The oracle recomputes
+    # the whole construction the textbook way (unnest + window functions).
+    from crawlspark.textops import substring_dedup
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 600)
+    did = F.col("doc_id").cast("string")
+    uniq = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11) + F.col("doc_id") % 3),
+            lambda j: F.concat(F.lit("u"), did, F.lit("x"), j.cast("string")),
+        ),
+    )
+    shared = F.lit(" ".join(f"s{k}" for k in range(14)))
+    text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(uniq, F.lit(" "), shared)
+    ).otherwise(uniq)
+    return substring_dedup(
+        d.select("doc_id", text.alias("text")), window=8, stride=4
+    ).orderBy("doc_id")
+
+
+def q_host_rank(spark, sf):
+    # fixed-point integer PageRank over a synthetic host graph (50 hosts,
+    # hosts h0/h10/h20/h30/h40 dangling); bit-exact at any parallelism, so
+    # the oracle unrolls the same integer recurrence in SQL
+    from crawlspark.hostrank import host_rank
+
+    d = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") < 500) & ((F.col("doc_id") % 50 % 10) != 0)
+    )
+    h = lambda e: F.concat(F.lit("h"), e.cast("string"))  # noqa: E731
+    e1 = d.select(h(F.col("doc_id") % 50).alias("src"),
+                  h((F.col("doc_id") * 7 + 1) % 50).alias("dst"))
+    e2 = d.select(h(F.col("doc_id") % 50).alias("src"),
+                  h((F.col("doc_id") * 3 + 2) % 50).alias("dst"))
+    return host_rank(e1.unionByName(e2), iterations=6).orderBy("host")
+
+
+def _sitemap_bodies(spark, sf):
+    # deterministic sitemap bodies: a urlset with one full entry (loc with
+    # padding whitespace + lastmod + priority), one minimal entry
+    # (changefreq only), one loc-less entry (must be dropped), then a
+    # sitemapindex child — regex parser handles the concatenation fine
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id").cast("string")
+    day = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    body = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+              ' <url>\n  <loc> https://site'), did,
+        F.lit(".example.org/page/"), did,
+        F.lit(" </loc>\n  <lastmod>2024-01-"), day,
+        F.lit("</lastmod>\n  <priority>0."), (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority>\n </url>\n <url><loc>https://site"), did,
+        F.lit(".example.org/extra</loc><changefreq>daily</changefreq></url>\n"
+              " <url><lastmod>2030-01-01</lastmod></url>\n</urlset>\n"
+              "<sitemapindex><sitemap>\n<loc>https://site"), did,
+        F.lit(".example.org/sitemap-2.xml</loc>\n"
+              "<lastmod>2024-02-02</lastmod></sitemap></sitemapindex>"),
+    )
+    return d.select(F.concat(F.lit("site"), did).alias("host"), body.alias("body"))
+
+
+def q_crawl_sitemap_parse(spark, sf):
+    # sitemaps.org 0.9 ingestion (crawlspark.sitemap): bodies are closed
+    # forms of doc_id, so the oracle states the parsed rows directly
+    from crawlspark.sitemap import parse_sitemap
+
+    return parse_sitemap(_sitemap_bodies(spark, sf)).orderBy("host", "kind", "loc")
+
+
+def q_crawl_sitemap_frontier(spark, sf):
+    # parsed urlset entries → FRONTIER rows: sitemap priority 0.k maps to
+    # scheduler priority 10-k, lastmod to warc_ts, absent priority to the
+    # 0.5 protocol default (priority 5)
+    from crawlspark.sitemap import parse_sitemap, sitemap_frontier
+
+    parsed = parse_sitemap(_sitemap_bodies(spark, sf))
+    return sitemap_frontier(parsed, discovered_round=3).orderBy("url")
+
+
 def q_pipeline_training_set(spark, sf):
     # SECOND COMPOSED PIPELINE, fully SQL-oracle-expressible end-to-end:
     # the "raw corpus → training set" chain a 100 TB curation run executes —
@@ -853,6 +940,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_rules": q_repetition_rules,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
+        "substring_dedup": q_substring_dedup,
+        "host_rank": q_host_rank,
+        "crawl_sitemap_parse": q_crawl_sitemap_parse,
+        "crawl_sitemap_frontier": q_crawl_sitemap_frontier,
         "fingerprint_winnow": q_fingerprint_winnow,
         "multimodal_image": q_multimodal_image,
         "multimodal_png": q_multimodal_png,
@@ -889,6 +980,79 @@ def _lang_id_sql() -> str:
           FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)
         )
     """
+
+
+def _host_rank_sql(iterations: int = 6, damping: int = 85, scale: int = 10**12) -> str:
+    """Unrolled fixed-point PageRank recurrence (crawlspark.hostrank pinned
+    semantics) — one CTE triple (contribs, dangling, ranks) per iteration.
+    All arithmetic is BIGINT floor division, so the values are bit-identical
+    to the Spark side regardless of partitioning or summation order."""
+    parts = [f"""
+        WITH edges AS (
+            SELECT src, dst FROM (
+                SELECT DISTINCT 'h' || CAST(doc_id % 50 AS VARCHAR) AS src,
+                       'h' || CAST((doc_id * 7 + 1) % 50 AS VARCHAR) AS dst
+                FROM documents WHERE doc_id < 500 AND (doc_id % 50) % 10 <> 0
+                UNION
+                SELECT 'h' || CAST(doc_id % 50 AS VARCHAR),
+                       'h' || CAST((doc_id * 3 + 2) % 50 AS VARCHAR)
+                FROM documents WHERE doc_id < 500 AND (doc_id % 50) % 10 <> 0
+            ) WHERE src <> dst
+        ),
+        nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT count(*) AS c FROM nodes),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT host, CAST({scale} // nn.c AS BIGINT) AS rank
+               FROM nodes CROSS JOIN nn)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+        c{k} AS (
+            SELECT e.dst AS host, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS inflow
+            FROM r{k - 1} r JOIN deg d ON d.src = r.host
+            JOIN edges e ON e.src = r.host
+            GROUP BY e.dst
+        ),
+        g{k} AS (
+            SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
+            FROM r{k - 1} r LEFT JOIN deg d ON d.src = r.host
+            WHERE d.src IS NULL
+        ),
+        r{k} AS (
+            SELECT n.host, CAST(
+                ((100 - {damping}) * ({scale} // nn.c)) // 100
+                + ({damping} * (COALESCE(c.inflow, 0) + g.dang // nn.c)) // 100
+                AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN c{k} c ON c.host = n.host
+            CROSS JOIN g{k} g CROSS JOIN nn
+        )""")
+    parts.append(f"""
+        SELECT host, rank FROM r{iterations} ORDER BY host""")
+    return "".join(parts)
+
+
+# closed form of _sitemap_bodies as the PARSER must see it: 3 surviving
+# entries per host (the loc-less urlset entry is dropped)
+_SITEMAP_ORACLE_BASE = """
+    WITH sm AS (
+        SELECT CAST(doc_id AS VARCHAR) AS d,
+               lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') AS day,
+               TRY_CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) AS p
+        FROM documents WHERE doc_id < 400
+    )
+    SELECT 'site' || d AS host, 'url' AS kind,
+           'https://site' || d || '.example.org/page/' || d AS loc,
+           '2024-01-' || day AS lastmod, '' AS changefreq, p AS priority
+    FROM sm
+    UNION ALL
+    SELECT 'site' || d, 'url', 'https://site' || d || '.example.org/extra',
+           '', 'daily', CAST(NULL AS DOUBLE)
+    FROM sm
+    UNION ALL
+    SELECT 'site' || d, 'sitemap',
+           'https://site' || d || '.example.org/sitemap-2.xml',
+           '2024-02-02', '', CAST(NULL AS DOUBLE)
+    FROM sm
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1532,4 +1696,82 @@ def oracle_sql() -> dict[str, str]:
               )
             )
         """,
+        # full textbook recomputation of the window-relaxed ExactSubstr
+        # dedup: same text construction, same md5 window hashes, keeper =
+        # first (doc_id, widx) per duplicated hash via row_number
+        "substring_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN uniq || ' ' || '{shared}'
+                            ELSE uniq END AS text
+                FROM (
+                    SELECT doc_id, array_to_string(list_transform(
+                        generate_series(0, 11 + CAST(doc_id % 3 AS BIGINT)),
+                        j -> 'u' || CAST(doc_id AS VARCHAR) || 'x'
+                             || CAST(j AS VARCHAR)), ' ') AS uniq
+                    FROM documents WHERE doc_id < 600
+                )
+            ),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+            wins AS (
+                SELECT doc_id, CAST(i AS INT) AS widx,
+                       md5(array_to_string(
+                           list_slice(w, i * 4 + 1, i * 4 + 8), ' ')) AS h
+                FROM toks,
+                     unnest(generate_series(0, (len(w) - 8) // 4)) AS t(i)
+                WHERE len(w) >= 8
+            ),
+            marked AS (
+                SELECT doc_id, widx,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, widx) AS rn,
+                       count(*) OVER (PARTITION BY h) AS c
+                FROM wins
+            ),
+            dups AS (SELECT doc_id, widx FROM marked WHERE c >= 2 AND rn > 1),
+            flags AS (
+                SELECT t.doc_id, t.pos, t.tok,
+                       EXISTS (SELECT 1 FROM dups d
+                               WHERE d.doc_id = t.doc_id
+                                 AND d.widx * 4 <= t.pos
+                                 AND t.pos < d.widx * 4 + 8) AS rm
+                FROM (
+                    SELECT doc_id, CAST(j - 1 AS INT) AS pos,
+                           w[CAST(j AS INT)] AS tok
+                    FROM toks, unnest(generate_series(1, len(w))) AS u(j)
+                ) t
+            ),
+            agg AS (
+                SELECT doc_id,
+                       COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                                FILTER (WHERE NOT rm), '') AS text,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(count(*) FILTER (WHERE rm) AS BIGINT) AS n_removed
+                FROM flags GROUP BY doc_id
+            ),
+            dwc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+                    FROM dups GROUP BY doc_id)
+            SELECT a.doc_id, a.text, a.n_tokens, a.n_removed,
+                   COALESCE(w.n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows
+            FROM agg a LEFT JOIN dwc w ON w.doc_id = a.doc_id
+            ORDER BY a.doc_id
+        """.replace("{shared}", " ".join(f"s{k}" for k in range(14))),
+        "host_rank": _host_rank_sql(iterations=6),
+        "crawl_sitemap_parse": _SITEMAP_ORACLE_BASE
+        + " ORDER BY host, kind, loc",
+        # FRONTIER adaptation: priority 0.k -> 10-k (protocol default 0.5 ->
+        # 5 for the priority-less entry), lastmod -> warc_ts, sitemapindex
+        # rows excluded
+        "crawl_sitemap_frontier": """
+            WITH parsed AS ({base})
+            SELECT loc AS url, CAST(NULL AS VARCHAR) AS host,
+                   CAST(round((1.0 - COALESCE(priority, 0.5)) * 10) AS INT)
+                       AS priority,
+                   TRY_CAST(NULLIF(lastmod, '') AS TIMESTAMP) AS warc_ts,
+                   'sitemap' AS provider, CAST(3 AS INT) AS discovered_round,
+                   CAST(0 AS INT) AS retries
+            FROM parsed WHERE kind = 'url'
+            ORDER BY url
+        """.replace("{base}", _SITEMAP_ORACLE_BASE),
     }

@@ -1619,3 +1619,98 @@ def pack_sequences(
         .withColumn("_cum", F.col("_lcum") + F.col("_off"))
         .select(*out_cols)
     )
+
+
+def substring_dedup(
+    documents: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    keep: list | None = None,
+) -> DataFrame:
+    """Duplicated-span (exact-substring) deduplication — the scalable window
+    relaxation of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better", ExactSubstr, public method): any span of
+    ``window`` whitespace tokens whose text occurs MORE THAN ONCE anywhere in
+    the corpus is removed from every occurrence EXCEPT the first, where
+    "first" is the lexicographic minimum (doc_id, window_index) — keep-one,
+    like the paper's dedup, unlike line_dedup's remove-all boilerplate rule.
+    The paper's suffix array is replaced by fixed-width windows at ``stride``
+    tokens: a duplicated run of >= window + stride - 1 tokens is guaranteed
+    to contain an aligned duplicated window; shorter duplicates (down to
+    ``window``) are detected when their alignments coincide. Documents with
+    fewer than ``window`` tokens are never touched.
+
+    Returns (doc_id, text, n_tokens, n_removed, n_dup_windows): the
+    reassembled text (surviving tokens in original order, space-joined), the
+    original whitespace-token count, how many tokens were removed, and how
+    many duplicate windows hit the document.
+
+    Scale shape: window hashing is one per-doc HOF projection (md5 over
+    token slices — no corpus-sized gram explode of TEXT); the only
+    corpus-wide exchange carries (hash, doc_id, window_index) — 16-byte
+    digests plus ids, map-side combinable into the min-struct keeper
+    aggregate (order-independent, so partitioning never changes the answer).
+    Duplicate window ids join back per doc_id and a token-index filter
+    rebuilds the text — no global window; skew is bounded by one document's
+    token count times its duplicate-window count (worst case O(n*d) per doc,
+    d = n/stride for a fully-duplicated document)."""
+    toks = F.split(F.col("text"), " ")
+
+    def _win_hashes(tk):
+        k = F.floor((F.size(tk) - window) / stride).cast("int")
+        return F.when(
+            F.size(tk) >= window,
+            F.transform(
+                F.sequence(F.lit(0), k),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i * stride + 1, window))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    wins = documents.select(
+        "doc_id",
+        F.posexplode(_bind_once(toks, _win_hashes)).alias("widx", "_h"),
+    ).persist()
+    if keep is not None:
+        keep.append(wins)
+    # keeper per duplicated hash: order-independent min-struct aggregate
+    dup_stats = (
+        wins.groupBy("_h")
+        .agg(F.count("*").alias("_c"), F.min(F.struct("doc_id", "widx")).alias("_k"))
+        .filter(F.col("_c") >= 2)
+        .select("_h", "_k")
+    )
+    dup_occ = (
+        wins.join(dup_stats, "_h")
+        .filter(
+            ~((F.col("doc_id") == F.col("_k.doc_id")) & (F.col("widx") == F.col("_k.widx")))
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("widx")).alias("_dw"))
+    )
+    dw = F.coalesce(F.col("_dw"), F.array().cast("array<int>"))
+
+    def _rebuild(tk):
+        kept = F.filter(
+            tk,
+            lambda t, j: ~F.exists(
+                dw, lambda w: (w * stride <= j) & (j < w * stride + window)
+            ),
+        )
+        return F.struct(
+            F.concat_ws(" ", kept).alias("text"),
+            F.size(tk).cast("long").alias("n_tokens"),
+            (F.size(tk) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+
+    out = documents.join(dup_occ, "doc_id", "left").select(
+        "doc_id",
+        _bind_once(toks, _rebuild).alias("_r"),
+        F.size(dw).cast("long").alias("n_dup_windows"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("_r.text").alias("text"),
+        F.col("_r.n_tokens").alias("n_tokens"),
+        F.col("_r.n_removed").alias("n_removed"),
+        "n_dup_windows",
+    )

@@ -915,3 +915,75 @@ def test_pack_sequences(spark):
     ranged = {r["doc_id"]: r.asDict() for r in
               pack_sequences(docs, ctx=16, small_threshold=0).collect()}
     assert got == ranged
+
+
+# ---------------------------------------------------------------------------
+# substring (duplicated-span) dedup
+# ---------------------------------------------------------------------------
+
+def test_substring_dedup_keep_first(spark):
+    from crawlspark.textops import substring_dedup
+
+    span = " ".join(f"s{k}" for k in range(8))  # exactly one window at w=8,s=4
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 a4 " + span),           # 12 toks, span at 4..11
+            (2, "b1 b2 b3 b4 " + span),           # same alignment -> dup
+            (3, "c1 c2 c3 " + span),               # 11 toks: windows 0..7? no
+            (4, "short doc"),                      # < window: untouched
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           substring_dedup(docs, window=8, stride=4).collect()}
+    # doc1: windows i=0 (a1..s3), i=1 (s0..s7); doc2: (b1..s3), (s0..s7);
+    # doc3 (11 toks): i=0 only (c1..s4) -- unique. Shared hash = s0..s7 in
+    # docs 1 and 2 at widx=1; keeper = doc 1 -> doc 2 loses tokens 4..11.
+    assert got[1]["text"] == "a1 a2 a3 a4 " + span
+    assert got[1]["n_removed"] == 0 and got[1]["n_dup_windows"] == 0
+    assert got[2]["text"] == "b1 b2 b3 b4"
+    assert got[2]["n_removed"] == 8 and got[2]["n_dup_windows"] == 1
+    assert got[3]["text"].startswith("c1") and got[3]["n_removed"] == 0
+    assert got[4]["text"] == "short doc" and got[4]["n_tokens"] == 2
+
+
+def test_substring_dedup_python_mirror(spark):
+    """Counter-based textbook recomputation (the oracle's formulation) must
+    agree with the distributed plan on varied docs, including in-document
+    repeats and multi-way duplicates."""
+    from crawlspark.textops import substring_dedup
+
+    W, S = 6, 3
+    rows = []
+    for i in range(30):
+        toks = [f"w{i}x{j}" for j in range(i % 11)]
+        if i % 4 == 0:
+            toks += [f"p{k}" for k in range(9)]          # shared span
+        if i % 7 == 0:
+            toks += [f"q{i}r{k}" for k in range(6)] * 2  # in-doc repeat
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in
+           substring_dedup(docs, window=W, stride=S).collect()}
+
+    # mirror
+    wins = {}
+    for i, text in rows:
+        w = text.split(" ")
+        if len(w) >= W:
+            for x in range((len(w) - W) // S + 1):
+                wins.setdefault(" ".join(w[x * S:x * S + W]), []).append((i, x))
+    dup = {}
+    for occ in wins.values():
+        if len(occ) >= 2:
+            for i, x in sorted(occ)[1:]:
+                dup.setdefault(i, []).append(x)
+    for i, text in rows:
+        w = text.split(" ")
+        dws = sorted(dup.get(i, []))
+        kept = [t for j, t in enumerate(w)
+                if not any(x * S <= j < x * S + W for x in dws)]
+        assert got[i]["text"] == " ".join(kept), i
+        assert got[i]["n_tokens"] == len(w), i
+        assert got[i]["n_removed"] == len(w) - len(kept), i
+        assert got[i]["n_dup_windows"] == len(dws), i

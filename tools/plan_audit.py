@@ -396,6 +396,55 @@ def main() -> None:
            "MapInPandas" not in p and "BatchEvalPython" not in p)])
     )
 
+    # 25. substring dedup: the only corpus-wide exchanges carry (md5, ids) —
+    #     TEXT never shuffles (reassembly joins dup window ids back by
+    #     doc_id); keeper choice is a hash aggregate, not a window
+    from crawlspark.textops import substring_dedup
+
+    q = substring_dedup(docs, window=16, stride=8)
+    p = fmt(q)
+    sections.append(
+        ("Substring (duplicated-span) dedup: id-only exchange", p,
+         [("no Python operator",
+           "MapInPandas" not in p and "BatchEvalPython" not in p),
+          ("no cartesian product", "CartesianProduct" not in p),
+          ("keeper via hash aggregate (no global window)",
+           "HashAggregate" in p and "Exchange SinglePartition" not in p)])
+    )
+
+    # 26. host rank: one PageRank iteration — dangling mass rides a 1-row
+    #     broadcast, contributions are a map-side-combinable long sum
+    from crawlspark.hostrank import host_rank
+
+    edges = docs.select(
+        (F.col("doc_id") % 50).cast("string").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % 50).cast("string").alias("dst"),
+    )
+    q = host_rank(edges, iterations=1, checkpoint=False)
+    p = fmt(q)
+    sections.append(
+        ("Host rank (1 iteration): integer PageRank step", p,
+         [("dangling mass is a broadcast, not a collect", "BroadcastExchange" in p),
+          ("no Python operator",
+           "MapInPandas" not in p and "BatchEvalPython" not in p),
+          ("inflow is a partial-aggregated long sum", "HashAggregate" in p)])
+    )
+
+    # 27. sitemap parse: pure regexp projection + explode — zero exchanges
+    from crawlspark.sitemap import parse_sitemap
+
+    q = parse_sitemap(
+        docs.select(F.col("doc_id").cast("string").alias("host"),
+                    F.col("text").alias("body"))
+    )
+    p = fmt(q)
+    sections.append(
+        ("Sitemap ingestion: shuffle-free parse", p,
+         [("no Exchange anywhere", "Exchange" not in p),
+          ("no Python operator",
+           "MapInPandas" not in p and "BatchEvalPython" not in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
