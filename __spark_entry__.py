@@ -628,10 +628,17 @@ def q_split_assign(spark, sf):
 
 def q_repetition_rules(spark, sf):
     # Gopher §A1.2 repetition gates — shuffle-free sorted-array folds (no
-    # (doc_id, line) exchange); oracle recomputes via unnest + GROUP BY
+    # (doc_id, line) exchange); oracle recomputes via unnest + GROUP BY.
+    # The repartition is INPUT-SPLIT SIMULATION, not part of the operator:
+    # sf0.1 documents.parquet is one ~1.5 MB split, which would run this
+    # CPU-bound projection on a single core; a real corpus arrives in many
+    # splits (the op itself stays exchange-free — see PLANS.md §22).
     from crawlspark.textops import repetition_rules
 
-    return repetition_rules(_t(spark, sf, "documents")).orderBy("doc_id")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return repetition_rules(
+        _t(spark, sf, "documents").repartition(n)
+    ).orderBy("doc_id")
 
 
 def q_pii_redact(spark, sf):

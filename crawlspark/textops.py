@@ -1473,27 +1473,42 @@ def repetition_rules(
         )
         return fold["best"]
 
-    def _grams(n):
-        # strict n-grams: EMPTY array (not the whole-text fallback) below n
-        # words, so short docs score 0 repetition rather than 1.0
-        words = F.split(F.col("text"), " ")
-        k = F.size(words) - (n - 1)
-        return F.when(
-            k >= 1,
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    def _top_gram_struct(words):
+        # BOTH gram families from one BOUND token array: a lambda body
+        # re-evaluates any outer (non-lambda-var) expression per element, so
+        # building grams from a free-standing F.split would re-split the
+        # text once PER GRAM — O(n^2) splitting (measured ~6x slowdown on
+        # the sf0.1 battery before binding).
+        def grams(n):
+            # strict n-grams: EMPTY array (not the whole-text fallback)
+            # below n words, so short docs score 0 repetition rather than 1.0
+            k = F.size(words) - (n - 1)
+            return F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), k - 1),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        return F.struct(
+            _top_run_chars(F.array_sort(grams(2))).alias("g2"),
+            _top_run_chars(F.array_sort(grams(3))).alias("g3"),
+        )
 
     feats = F.struct(
         _bind_once(F.array_sort(F.split(F.col("text"), "\n")),
                    _dup_line_struct).alias("ln"),
-        _bind_once(F.array_sort(_grams(2)), _top_run_chars).alias("g2"),
-        _bind_once(F.array_sort(_grams(3)), _top_run_chars).alias("g3"),
+        _bind_once(F.split(F.col("text"), " "), _top_gram_struct).alias("g"),
         F.length("text").cast("long").alias("n_chars"),
     )
-    base = documents.select("doc_id", feats.alias("_r"))
+    # explode(array(feats)) routes the struct through a Generate, which
+    # evaluates it ONCE per row into a bound attribute. A plain projection
+    # alias does NOT survive: SimplifyExtractValueOps inlines GetStructField
+    # over CreateNamedStruct, so each of the ~12 downstream references would
+    # re-run its sort+fold (HOFs get no subexpression elimination — measured
+    # 6-7x slower on the sf0.1 battery before this barrier).
+    base = documents.select("doc_id", F.explode(F.array(feats)).alias("_r"))
 
     r = F.col("_r")
     dup_line_frac = F.round(r["ln"]["dup_lines"] / r["ln"]["n_lines"], 6)
@@ -1502,9 +1517,9 @@ def repetition_rules(
                r["ln"]["dup_line_chars"] / r["ln"]["line_chars"])
         .otherwise(0.0), 6)
     top2 = F.round(
-        F.when(r["n_chars"] > 0, r["g2"] / r["n_chars"]).otherwise(0.0), 6)
+        F.when(r["n_chars"] > 0, r["g"]["g2"] / r["n_chars"]).otherwise(0.0), 6)
     top3 = F.round(
-        F.when(r["n_chars"] > 0, r["g3"] / r["n_chars"]).otherwise(0.0), 6)
+        F.when(r["n_chars"] > 0, r["g"]["g3"] / r["n_chars"]).otherwise(0.0), 6)
     ok_dl = dup_line_frac <= max_dup_line_frac
     ok_dc = dup_char_frac <= max_dup_line_char_frac
     ok_g2 = top2 <= max_top2gram_char_frac
