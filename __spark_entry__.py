@@ -759,6 +759,66 @@ def q_crawl_sitemap_frontier(spark, sf):
     return sitemap_frontier(parsed, discovered_round=3).orderBy("url")
 
 
+def _warc_archives(spark, sf):
+    # per doc: one WARC/1.0 response record (HTTP-wrapped payload) + one
+    # metadata record (no HTTP wrapper, no status). Every 10th payload
+    # EMBEDS the bytes 'WARC/1.0' — Content-Length framing must carry the
+    # parser straight past it (the reason this is a byte walk, not a split)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit("<html>doc"), did,
+        F.when(F.col("doc_id") % 10 == 0, F.lit(" WARC/1.0")).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), payload
+    )
+    rec1 = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://w"),
+        did, F.lit(".example.org/p\r\nWARC-Date: 2024-01-02T03:04:05Z\r\n"
+                   "Content-Type: application/http; msgtype=response\r\n"
+                   "Content-Length: "),
+        F.length(http).cast("string"), F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+    )
+    meta = F.concat(F.lit("meta"), did)
+    rec2 = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: https://w"),
+        did, F.lit(".example.org/p\r\nWARC-Date: 2024-01-02T03:04:06Z\r\n"
+                   "Content-Length: "),
+        F.length(meta).cast("string"), F.lit("\r\n\r\n"), meta, F.lit("\r\n\r\n"),
+    )
+    return d.select(
+        F.concat(F.lit("w"), did).alias("path"),
+        F.encode(F.concat(rec1, rec2), "UTF-8").alias("content"),
+    )
+
+
+def q_crawl_warc_parse(spark, sf):
+    # WARC/1.0 archive walk (crawlspark.warc): Content-Length framing via
+    # Arrow-batched mapInPandas, one task per archive; payload decoded to
+    # string for the value-hash compare
+    from crawlspark.warc import parse_warc
+
+    recs = parse_warc(_warc_archives(spark, sf))
+    return recs.select(
+        "src", "record_index", "warc_type", "target_uri", "warc_date",
+        "http_status", F.decode("payload", "UTF-8").alias("payload_text"),
+        "payload_len", "error",
+    ).orderBy("src", "record_index")
+
+
+def q_crawl_warc_pages(spark, sf):
+    # WARC responses → the north_rule's PAGES load edge (url, warc_ts, html)
+    from crawlspark.warc import pages_from_warc, parse_warc
+
+    pages = pages_from_warc(parse_warc(_warc_archives(spark, sf)))
+    return pages.select(
+        "url", "warc_ts", F.decode("html", "UTF-8").alias("html_text"),
+        "text", "lang",
+    ).orderBy("url")
+
+
 def q_pipeline_training_set(spark, sf):
     # SECOND COMPOSED PIPELINE, fully SQL-oracle-expressible end-to-end:
     # the "raw corpus → training set" chain a 100 TB curation run executes —
@@ -951,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": q_host_rank,
         "crawl_sitemap_parse": q_crawl_sitemap_parse,
         "crawl_sitemap_frontier": q_crawl_sitemap_frontier,
+        "crawl_warc_parse": q_crawl_warc_parse,
+        "crawl_warc_pages": q_crawl_warc_pages,
         "fingerprint_winnow": q_fingerprint_winnow,
         "multimodal_image": q_multimodal_image,
         "multimodal_png": q_multimodal_png,
@@ -1765,6 +1827,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a.doc_id
         """.replace("{shared}", " ".join(f"s{k}" for k in range(14))),
         "host_rank": _host_rank_sql(iterations=6),
+        # closed form of the parsed WARC archives: two records per doc —
+        # the response (HTTP unwrapped, status 200) and the metadata record
+        # (raw payload, NULL status); every 10th payload embeds 'WARC/1.0'
+        "crawl_warc_parse": """
+            WITH wd AS (
+                SELECT CAST(doc_id AS VARCHAR) AS d,
+                       '<html>doc' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 10 = 0 THEN ' WARC/1.0' ELSE '' END
+                       || '</html>' AS payload
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT 'w' || d AS src, 0 AS record_index,
+                   'response' AS warc_type,
+                   'https://w' || d || '.example.org/p' AS target_uri,
+                   '2024-01-02T03:04:05Z' AS warc_date,
+                   200 AS http_status, payload AS payload_text,
+                   CAST(length(payload) AS BIGINT) AS payload_len,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM wd
+            UNION ALL
+            SELECT 'w' || d, 1, 'metadata',
+                   'https://w' || d || '.example.org/p',
+                   '2024-01-02T03:04:06Z',
+                   CAST(NULL AS INT), 'meta' || d,
+                   CAST(length('meta' || d) AS BIGINT),
+                   CAST(NULL AS VARCHAR)
+            FROM wd
+            ORDER BY src, record_index
+        """,
+        "crawl_warc_pages": """
+            SELECT 'https://w' || CAST(doc_id AS VARCHAR)
+                       || '.example.org/p' AS url,
+                   TIMESTAMP '2024-01-02 03:04:05' AS warc_ts,
+                   '<html>doc' || CAST(doc_id AS VARCHAR)
+                   || CASE WHEN doc_id % 10 = 0 THEN ' WARC/1.0' ELSE '' END
+                   || '</html>' AS html_text,
+                   CAST(NULL AS VARCHAR) AS text,
+                   CAST(NULL AS VARCHAR) AS lang
+            FROM documents WHERE doc_id < 300
+            ORDER BY url
+        """,
         "crawl_sitemap_parse": _SITEMAP_ORACLE_BASE
         + " ORDER BY host, kind, loc",
         # FRONTIER adaptation: priority 0.k -> 10-k (protocol default 0.5 ->

@@ -445,6 +445,23 @@ def main() -> None:
            "MapInPandas" not in p and "BatchEvalPython" not in p)])
     )
 
+    # 28. WARC ingestion: the mapInPandas MUST sit on an exchange, never
+    #     directly on the scan (Spark 4.1 PythonRunner selector-spin)
+    from crawlspark.warc import parse_warc
+
+    q = parse_warc(
+        docs.select(F.col("doc_id").cast("string").alias("path"),
+                    F.encode("text", "UTF-8").alias("content"))
+    )
+    p = fmt(q)
+    sections.append(
+        ("WARC ingestion: exchange below the Python walker", p,
+         [("Arrow-batched mapInPandas (not row-at-a-time)",
+           "MapInPandas" in p and "BatchEvalPython" not in p),
+          ("exchange between scan and UDF (selector-spin guard)",
+           "Exchange" in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
