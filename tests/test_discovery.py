@@ -139,3 +139,121 @@ def test_rank_priorities_and_frontier_overlay(spark):
         ).collect()
     }
     assert out == {"u1": 0, "u2": 3, "u3": 4}
+
+
+def test_sitemap_seeded_crawl(spark, tmp_path):
+    """End-to-end: sitemap bodies -> sitemap_frontier -> the real crawl
+    loop. The frontier rows carry NULL host + provider='sitemap'; the
+    scheduler's enrich must canonicalize them exactly like any seed."""
+    from crawlspark import schemas, synth
+    from crawlspark.scheduler import Crawler
+    from crawlspark.settings import Settings
+    from crawlspark.sitemap import parse_sitemap, sitemap_frontier
+    from crawlspark.warehouse import Warehouse
+
+    n_pages, n_hosts = 24, 3
+    pages = spark.createDataFrame(
+        [synth.page_row(i, n_hosts) for i in range(n_pages)], schemas.PAGES
+    )
+    robots = spark.createDataFrame(synth.robots_rows(n_hosts), schemas.ROBOTS)
+    body = "".join(
+        f"<urlset><url><loc>{synth.page_url(i, n_hosts)}</loc>"
+        f"<priority>0.{i % 10}</priority></url></urlset>"
+        for i in range(n_pages)
+    )
+    bodies = spark.createDataFrame([("any", body)], ["host", "body"])
+    frontier = sitemap_frontier(parse_sitemap(bodies), discovered_round=0)
+    assert frontier.count() == n_pages
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    crawler = Crawler(
+        spark, Settings.new(), wh, synth.golden_fields(), pages, robots,
+        frontier.select(*schemas.FRONTIER.fieldNames()), None,
+    )
+    results = crawler.run(max_rounds=6)
+    fetched = sum(r.fetched for r in results)
+    seen = wh.read_state(spark, "seen", schemas.SEEN)
+    # every sitemap URL except robots-blocked ones ends up crawled exactly once
+    assert fetched == seen.count() == n_pages
+    log = wh.read_appends(spark, "crawl_log", schemas.CRAWL_LOG)
+    assert log.filter(F.col("fetched")).count() == n_pages
+
+
+def test_host_rank_priorities_steer_crawl_order(spark, tmp_path):
+    """frontier_with_rank overlays tier-0 priority on a hub host; under a
+    per-host politeness budget the overlay must change WHICH of that host's
+    URLs win the round-1 budget (priority uniform → warc_ts decides), while
+    an unboosted host still selects by its original per-URL priorities.
+    Priority is a per-host selection key, never cross-host order: seq ranks
+    by (chost, priority, ...) — see scheduler.py ORDER."""
+    from crawlspark import schemas, synth
+    from crawlspark.hostrank import frontier_with_rank
+    from crawlspark.scheduler import Crawler
+    from crawlspark.settings import Settings
+    from crawlspark.warehouse import Warehouse
+
+    n_pages, n_hosts = 20, 4
+    pages = spark.createDataFrame(
+        [synth.page_row(i, n_hosts) for i in range(n_pages)], schemas.PAGES
+    )
+    robots = spark.createDataFrame(
+        [
+            {
+                "host": f"host{h}.example.org",
+                "disallow_prefixes": [],
+                "crawl_delay_s": 1.0,
+                "max_per_round": 2,
+            }
+            for h in range(n_hosts)
+        ],
+        schemas.ROBOTS,
+    )
+    # priority DESCENDS as warc_ts ascends: the two orders disagree, so the
+    # overlay's effect on per-host selection is observable
+    host1 = [1, 9, 13, 17]  # host_of(i,4)==1
+    host2 = [2, 6, 14, 18]  # host_of(i,4)==2
+    frontier = spark.createDataFrame(
+        [
+            {
+                "url": synth.page_url(i, n_hosts),
+                "host": f"host{synth.host_of(i, n_hosts)}.example.org",
+                "priority": 3 - rank,
+                "warc_ts": synth.warc_ts(i),
+                "provider": "seed",
+                "discovered_round": 0,
+                "retries": 0,
+            }
+            for ids in (host1, host2)
+            for rank, i in enumerate(ids)
+        ],
+        schemas.FRONTIER,
+    )
+    boosted = "host2.example.org"
+    prios = spark.createDataFrame([(boosted, 0)], ["host", "rank_priority"])
+    fr2 = frontier_with_rank(frontier, prios).select(*schemas.FRONTIER.fieldNames())
+    # overlay: boosted host all priority 0, others untouched
+    got = fr2.filter(F.col("host") == boosted).select("priority").distinct().collect()
+    assert [r["priority"] for r in got] == [0]
+
+    wh = Warehouse(str(tmp_path / "wh2"))
+    crawler = Crawler(
+        spark, Settings.new(), wh, synth.golden_fields(), pages, robots, fr2, None
+    )
+    crawler.run(max_rounds=1)
+    log = wh.read_appends(spark, "crawl_log", schemas.CRAWL_LOG)
+    fetched = {
+        h: {r["url"] for r in rows_}
+        for h, rows_ in (
+            (h, [r for r in log.collect() if r["fetched"] and r["host"] == h])
+            for h in ("host1.example.org", boosted)
+        )
+    }
+    # unboosted host1: budget 2 picks its lowest-priority-value URLs (17, 13)
+    assert fetched["host1.example.org"] == {
+        synth.page_url(17, n_hosts), synth.page_url(13, n_hosts)
+    }
+    # boosted host2: priorities flattened to 0 → warc_ts picks the EARLIEST
+    # URLs (2, 6) — exactly the rows the original priorities would have lost
+    assert fetched[boosted] == {
+        synth.page_url(2, n_hosts), synth.page_url(6, n_hosts)
+    }
