@@ -699,6 +699,44 @@ def q_substring_dedup(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_lm_likelihood(spark, sf):
+    # corpus-trained add-one bigram LM likelihood (CCNet-style quality
+    # signal, Wenzek et al. 2020) — integer fixed-point, bit-exact at any
+    # parallelism, so the DuckDB oracle mirrors the arithmetic directly
+    from crawlspark.textops import lm_likelihood
+
+    return lm_likelihood(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def q_crawl_trap_detect(spark, sf):
+    # per-host crawl-trap score over synthesized URL shapes: hosts 0-2 get
+    # trap-pattern paths (repeated segments / depth-10 / 5 query params),
+    # hosts 3-6 stay clean, so the host-level trap flag actually varies
+    from crawlspark.canonical import url_trap_signals
+
+    d = _t(spark, sf, "documents")
+    host = F.concat(
+        F.lit("host"), F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit(".example.org"),
+    )
+    tail = F.col("doc_id").cast("string")
+    trap_path = (
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.concat(F.lit("/a/b/a/b/a/b/"), tail))
+        .when(
+            F.pmod("doc_id", F.lit(3)) == 1,
+            F.concat(F.lit("/d1/d2/d3/d4/d5/d6/d7/d8/d9/"), tail),
+        )
+        .otherwise(F.concat(F.lit("/p/"), tail, F.lit("?a=1&b=2&c=3&d=4&e=5")))
+    )
+    path = F.when(F.pmod("doc_id", F.lit(7)) < 3, trap_path).otherwise(
+        F.concat(F.lit("/p/"), tail)
+    )
+    urls = d.select(
+        F.concat(F.lit("https://"), host, path).alias("url"), host.alias("host")
+    )
+    return url_trap_signals(urls).orderBy("host")
+
+
 def q_host_rank(spark, sf):
     # fixed-point integer PageRank over a synthetic host graph (50 hosts,
     # hosts h0/h10/h20/h30/h40 dangling); bit-exact at any parallelism, so
@@ -1008,6 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "substring_dedup": q_substring_dedup,
+        "lm_likelihood": q_lm_likelihood,
+        "crawl_trap_detect": q_crawl_trap_detect,
         "host_rank": q_host_rank,
         "crawl_sitemap_parse": q_crawl_sitemap_parse,
         "crawl_sitemap_frontier": q_crawl_sitemap_frontier,
@@ -1826,6 +1866,95 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a LEFT JOIN dwc w ON w.doc_id = a.doc_id
             ORDER BY a.doc_id
         """.replace("{shared}", " ".join(f"s{k}" for k in range(14))),
+        # add-one bigram LM on the integer fixed-point axis (scale 1e9):
+        # every term is ((c2+1)*1e9) // (c1+V) over exact long counts, so
+        # the sum is associative and order-independent on both engines
+        "lm_likelihood": """
+            WITH tok AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       struct_extract(u.z, 1) AS w1,
+                       struct_extract(u.z, 2) AS w2
+                FROM tok,
+                     unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS u(z)
+            ),
+            cnt1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+            cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+            voc AS (
+                SELECT count(DISTINCT t.tok) AS v
+                FROM (SELECT unnest(w) AS tok FROM tok) t
+            ),
+            lik AS (
+                SELECT bg.doc_id,
+                       ((c2 + 1) * 1000000000) // (c1 + v) AS lik
+                FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1)
+                     CROSS JOIN voc
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS nb,
+                       CAST(sum(lik) AS BIGINT) AS s
+                FROM lik GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(s, 0) AS BIGINT) AS lm_score_sum,
+                   CAST(CASE WHEN COALESCE(nb, 0) = 0 THEN 0
+                             ELSE s // nb END AS BIGINT) AS lm_score_mean
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+            ORDER BY d.doc_id
+        """,
+        # URL-shape mirror of q_crawl_trap_detect: hosts 0-2 carry trap
+        # patterns (segment repeats / depth 10 / 5 params), 3-6 are clean
+        "crawl_trap_detect": """
+            WITH u AS (
+                SELECT 'host' || (doc_id % 7) || '.example.org' AS host,
+                       CASE WHEN doc_id % 7 < 3 THEN
+                         CASE doc_id % 3
+                           WHEN 0 THEN '/a/b/a/b/a/b/' || doc_id
+                           WHEN 1 THEN '/d1/d2/d3/d4/d5/d6/d7/d8/d9/' || doc_id
+                           ELSE '/p/' || doc_id || '?a=1&b=2&c=3&d=4&e=5'
+                         END
+                       ELSE '/p/' || doc_id END AS pq
+                FROM documents
+            ),
+            feat AS (
+                SELECT host,
+                       CASE WHEN length(p) = 0 THEN 0
+                            ELSE length(p) - length(replace(p, '/', '')) + 1
+                       END AS depth,
+                       CASE WHEN q IS NULL OR length(q) = 0 THEN 0
+                            ELSE length(q) - length(replace(q, '&', '')) + 1
+                       END AS n_params,
+                       COALESCE(list_max(list_transform(segs,
+                           s -> len(list_filter(segs, x -> x = s)))), 0)
+                       AS seg_repeat
+                FROM (
+                    SELECT host,
+                           string_split(pq, '?')[1][2:] AS p,
+                           CASE WHEN position('?' IN pq) > 0
+                                THEN string_split(pq, '?')[2] ELSE NULL
+                           END AS q,
+                           list_filter(
+                               string_split(string_split(pq, '?')[1][2:], '/'),
+                               s -> length(s) > 0) AS segs
+                    FROM u
+                )
+            )
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(sum(depth) AS BIGINT) AS sum_depth,
+                   CAST(max(depth) AS BIGINT) AS max_depth,
+                   CAST(max(seg_repeat) AS BIGINT) AS max_seg_repeat,
+                   CAST(sum(CASE WHEN depth > 8 OR seg_repeat > 2
+                                      OR n_params > 4
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_trap_urls,
+                   sum(CASE WHEN depth > 8 OR seg_repeat > 2 OR n_params > 4
+                            THEN 1 ELSE 0 END) * 100 > count(*) * 50 AS trap
+            FROM feat GROUP BY host ORDER BY host
+        """,
         "host_rank": _host_rank_sql(iterations=6),
         # closed form of the parsed WARC archives: two records per doc —
         # the response (HTTP unwrapped, status 200) and the metadata record

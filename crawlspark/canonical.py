@@ -292,3 +292,84 @@ def extract_links_expr(html: Column, base_url: Column) -> Column:
         ),
     )
     return F.array_distinct(F.filter(resolved, lambda x: x.isNotNull()))
+
+
+# --------------------------------------------------------------------------
+# crawl-trap detection (URL-pattern explosion signals)
+# --------------------------------------------------------------------------
+
+def url_trap_signals(
+    urls: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    max_depth: int = 8,
+    max_seg_repeat: int = 2,
+    max_params: int = 4,
+    trap_pct: int = 50,
+) -> DataFrame:
+    """Per-host crawl-trap score from URL shape alone — the classic
+    heuristics for calendar/session-id traps (Heydon & Najork, "Mercator"
+    1999 §3.3 document the repeated-path-segment trap; infinite calendars
+    and cart/session parameter explosions are the standard cases): a URL
+    is trap-like when its path depth exceeds ``max_depth``, any path
+    segment repeats ``> max_seg_repeat`` times within the SAME path
+    (/a/b/a/b/a/...), or it carries ``> max_params`` query parameters. A
+    host is flagged when more than ``trap_pct`` percent of its URLs are
+    trap-like (integer cross-multiply — no float ratio), feeding the
+    politeness budget (a flagged host's ``max_per_round`` drops).
+
+    Pure Catalyst string/array expressions, exact integer outputs. One
+    map-side-combinable groupBy(host) shuffle; the per-URL segment-repeat
+    scan is O(segments^2) with segments bounded by the depth cap a real
+    frontier enforces. At 10^10 URLs this is the cheapest full-frontier
+    pass in the scheduler.
+
+    Output per host: (host, n_urls, sum_depth, max_depth, max_seg_repeat,
+    n_trap_urls, trap) — longs + boolean.
+    """
+    after_scheme = F.try_element_at(F.split(F.col(url_col), "://", 2), F.lit(2))
+    rest = F.try_element_at(
+        F.split(after_scheme, "/", 2), F.lit(2)
+    )  # after host, may be null
+    path = F.coalesce(F.try_element_at(F.split(rest, "\\?", 2), F.lit(1)), F.lit(""))
+    query = F.try_element_at(F.split(rest, "\\?", 2), F.lit(2))  # null when no '?'
+    depth = F.when(
+        F.length(path) == 0, F.lit(0)
+    ).otherwise(
+        (F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit("")))) + 1
+    ).cast("long")
+    n_params = F.when(query.isNull() | (F.length(query) == 0), F.lit(0)).otherwise(
+        (F.length(query) - F.length(F.replace(query, F.lit("&"), F.lit("")))) + 1
+    ).cast("long")
+    segs = F.filter(F.split(path, "/"), lambda s: F.length(s) > 0)
+    seg_repeat = F.coalesce(
+        F.array_max(
+            F.transform(segs, lambda s: F.size(F.filter(segs, lambda x: x == s)))
+        ),
+        F.lit(0),
+    ).cast("long")
+    is_trap = (
+        (depth > max_depth) | (seg_repeat > max_seg_repeat) | (n_params > max_params)
+    )
+    per_url = urls.select(
+        F.col(host_col).alias("host"),
+        depth.alias("depth"),
+        n_params.alias("n_params"),
+        seg_repeat.alias("seg_repeat"),
+        is_trap.cast("long").alias("is_trap"),
+    )
+    return (
+        per_url.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum("depth").alias("sum_depth"),
+            F.max("depth").alias("max_depth"),
+            F.max("seg_repeat").alias("max_seg_repeat"),
+            F.sum("is_trap").alias("n_trap_urls"),
+        )
+        .select(
+            "host", "n_urls", "sum_depth", "max_depth", "max_seg_repeat",
+            "n_trap_urls",
+            (F.col("n_trap_urls") * 100 > F.col("n_urls") * trap_pct).alias("trap"),
+        )
+    )

@@ -1729,3 +1729,78 @@ def substring_dedup(
         F.col("_r.n_removed").alias("n_removed"),
         "n_dup_windows",
     )
+
+
+# --------------------------------------------------------------------------
+# bigram language-model likelihood (CCNet-style quality signal)
+# --------------------------------------------------------------------------
+
+def lm_likelihood(documents: DataFrame, scale: int = 10**9) -> DataFrame:
+    """Corpus-trained add-one bigram LM likelihood per document — the
+    public CCNet recipe (Wenzek et al. 2020 filter Common Crawl by LM
+    score; KenLM there, an in-corpus add-one bigram model here so the
+    whole computation is one Spark job with no external model file).
+
+    Per bigram occurrence (w1, w2) the add-one likelihood is
+    ``(c2(w1,w2) + 1) / (c1(w1) + V)``; a document's score is the sum of
+    its bigrams' likelihoods. Everything stays on an INTEGER fixed-point
+    axis (each term is ``(c2+1)*scale  div  (c1+V)``, summed as longs):
+    long sums are associative, so the result is bit-identical at any
+    parallelism and a DuckDB oracle reproduces it exactly — the reason
+    logs/doubles are avoided (libm vs JVM ``log`` differ in ulps; float
+    sums depend on partition order). Higher = more predictable text.
+
+    Scale shape: the bigram fact is built once and persisted; context and
+    bigram counts are two map-side-combinable aggregations over it; the
+    probe re-joins counts by key (stopword-headed keys are skewed — AQE
+    skew-join splits them; at petabyte scale broadcast the top-K frequent
+    bigrams and shuffle only the tail). Vocabulary size rides a 1-row
+    broadcast. With per-shard counts ≤ ~1e9, ``(c2+1)*scale`` fits a
+    long; beyond that lower ``scale`` or move the ratio to decimal(38).
+
+    Output: (doc_id, n_bigrams, lm_score_sum, lm_score_mean) — longs;
+    docs with <2 tokens keep zeros.
+    """
+    toks = documents.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    n = F.size("w")
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("w", 1, n - 1),
+                    F.slice("w", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .persist()
+    )
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = toks.select(F.explode("w").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    lik = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(f"(c2 + 1) * CAST({scale} AS BIGINT) div (c1 + v)").alias("lik"),
+        )
+    )
+    agg = lik.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("lik").alias("s")
+    )
+    return documents.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("s", F.lit(0)).cast("long").alias("lm_score_sum"),
+        F.coalesce(
+            F.expr("s div n_bigrams"), F.lit(0)
+        ).cast("long").alias("lm_score_mean"),
+    )

@@ -62,3 +62,33 @@ def test_xxhash64_matches_spark(spark):
 def test_host_py():
     assert host_py("https://host1.example.org/p/1") == "host1.example.org"
     assert host_py("http://h:8080/p") == "h:8080"
+
+
+def test_url_trap_signals_edges(spark):
+    """Depth/repeat/param extraction over awkward URL shapes: bare host,
+    trailing slash, no scheme, query-only, repeated segments."""
+    from crawlspark.canonical import url_trap_signals
+
+    rows = [
+        ("https://h.org", "h"),                     # no path at all
+        ("https://h.org/", "h"),                    # root slash only
+        ("https://h.org/a/b/a/b/a/x", "h"),         # 'a' and 'b' repeat 3/2
+        ("https://h.org/p?x=1&y=2", "h"),           # 2 params
+        ("h.org/no/scheme", "h2"),                  # schemeless -> zeros
+        ("https://h3.org/a/a/a/a?q=1&r=2&s=3&t=4&u=5", "h3"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "host"])
+    got = {r["host"]: r.asDict() for r in url_trap_signals(
+        df, max_depth=8, max_seg_repeat=2, max_params=4, trap_pct=50
+    ).collect()}
+    h = got["h"]
+    # depths: 0 (bare), 0 (root slash -> empty remainder), 6 (a/b/a/b/a/x), 1 (p)
+    assert h["n_urls"] == 4 and h["sum_depth"] == 0 + 0 + 6 + 1
+    assert h["max_depth"] == 6 and h["max_seg_repeat"] == 3
+    assert h["n_trap_urls"] == 1 and not h["trap"]  # 1/4 = 25% < 50%
+    assert got["h2"] == {
+        "host": "h2", "n_urls": 1, "sum_depth": 0, "max_depth": 0,
+        "max_seg_repeat": 0, "n_trap_urls": 0, "trap": False,
+    }
+    h3 = got["h3"]  # repeat 4 AND 5 params -> trap URL, 1/1 -> host flagged
+    assert h3["max_seg_repeat"] == 4 and h3["n_trap_urls"] == 1 and h3["trap"]

@@ -987,3 +987,50 @@ def test_substring_dedup_python_mirror(spark):
         assert got[i]["n_tokens"] == len(w), i
         assert got[i]["n_removed"] == len(w) - len(kept), i
         assert got[i]["n_dup_windows"] == len(dws), i
+
+
+def test_lm_likelihood_hand_computed(spark):
+    """Add-one bigram LM on a 3-doc corpus small enough to verify by hand;
+    includes a 1-token doc (no bigrams -> zeros)."""
+    from crawlspark.textops import lm_likelihood
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "x")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r.asDict() for r in lm_likelihood(docs).collect()}
+    # bigrams: doc0 -> (a,b) (b,a) (a,b); doc1 -> (a,b)
+    # c1: a=3, b=1 ; c2: (a,b)=3, (b,a)=1 ; V = |{a,b,x}| = 3
+    S = 10**9
+    ab = (3 + 1) * S // (3 + 3)    # 666666666
+    ba = (1 + 1) * S // (1 + 3)    # 500000000
+    assert got[0] == {
+        "doc_id": 0, "n_bigrams": 3, "lm_score_sum": 2 * ab + ba,
+        "lm_score_mean": (2 * ab + ba) // 3,
+    }
+    assert got[1] == {
+        "doc_id": 1, "n_bigrams": 1, "lm_score_sum": ab, "lm_score_mean": ab,
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_bigrams": 0, "lm_score_sum": 0, "lm_score_mean": 0,
+    }
+
+
+def test_lm_likelihood_parallelism_invariant(spark):
+    """Integer fixed-point axis: identical output at 1 and 32 shuffle
+    partitions (the reason the op avoids float log-sums)."""
+    from crawlspark.textops import lm_likelihood
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} common w{(i * 3) % 7} tail common w{i % 5}")
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        a = sorted(map(tuple, lm_likelihood(docs).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = sorted(map(tuple, lm_likelihood(docs).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b

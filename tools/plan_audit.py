@@ -462,6 +462,44 @@ def main() -> None:
            "Exchange" in p)])
     )
 
+    # 29. bigram LM likelihood: counts are map-side-combinable hash aggs,
+    #     the probe is keyed joins (never broadcast of data-scale counts),
+    #     and everything stays JVM-side
+    from crawlspark.textops import lm_likelihood
+
+    q = lm_likelihood(docs)
+    p = fmt(q)
+    sections.append(
+        ("Bigram LM likelihood: combinable count aggs + keyed probe joins", p,
+         [("map-side partial aggregation on the count tables",
+           "partial_count" in p or "HashAggregate" in p),
+          ("vocabulary scalar rides a broadcast", "BroadcastNestedLoopJoin" in p
+           or "BroadcastExchange" in p),
+          ("no Python operator",
+           "MapInPandas" not in p and "BatchEvalPython" not in p),
+          ("no cartesian product", "CartesianProduct" not in p)])
+    )
+
+    # 30. crawl-trap signals: one combinable groupBy(host) — the per-URL
+    #     feature extraction is pure projection
+    from crawlspark.canonical import url_trap_signals
+
+    q = url_trap_signals(
+        docs.select(
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".org/p/"), F.col("doc_id").cast("string")).alias("url"),
+            (F.col("doc_id") % 7).cast("string").alias("host"),
+        )
+    )
+    p = fmt(q)
+    sections.append(
+        ("Crawl-trap signals: single combinable host aggregation", p,
+         [("exactly one exchange (the host groupBy)", p.count("Exchange") <= 2),
+          ("map-side partial aggregation", "HashAggregate" in p),
+          ("no Python operator",
+           "MapInPandas" not in p and "BatchEvalPython" not in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
