@@ -708,6 +708,14 @@ def q_lm_likelihood(spark, sf):
     return lm_likelihood(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+def q_lm_buckets(spark, sf):
+    # CCNet §4.3 head/middle/tail thirds per language, cut on the quantized
+    # score histogram (no per-lang data-scale window) — exact integers
+    from crawlspark.textops import lm_buckets
+
+    return lm_buckets(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
 def q_crawl_trap_detect(spark, sf):
     # per-host crawl-trap score over synthesized URL shapes: hosts 0-2 get
     # trap-pattern paths (repeated segments / depth-10 / 5 query params),
@@ -735,6 +743,74 @@ def q_crawl_trap_detect(spark, sf):
         F.concat(F.lit("https://"), host, path).alias("url"), host.alias("host")
     )
     return url_trap_signals(urls).orderBy("host")
+
+
+def q_anchor_text_index(spark, sf):
+    # anchor-text inlink index over synthesized HTML: absolute + root-
+    # relative links resolve, mailto: drops; oracle states the resolved
+    # (src_host, target, anchor) edges in closed form and re-aggregates
+    from crawlspark.canonical import anchor_text_index
+
+    d = _t(spark, sf, "documents")
+    mod = lambda k: F.pmod("doc_id", F.lit(k)).cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit('<p>x</p><a href="https://t'), mod(5),
+        F.lit('.example.org/x">anchor '), mod(3),
+        F.lit('</a><a href="/rel/'), mod(4),
+        F.lit('">self '), mod(2),
+        F.lit('</a><a href="mailto:z@q">drop</a>'),
+    )
+    base = F.concat(
+        F.lit("https://host"), mod(7), F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    pages = d.select(html.alias("payload"), base.alias("url"))
+    return anchor_text_index(pages).orderBy("url")
+
+
+def q_crawl_robots_sitemaps(spark, sf):
+    # Sitemap: directive extraction (RFC 9309 §2.3) — UA-independent, colon
+    # in the URL preserved, comments stripped, multiple directives kept
+    from crawlspark.robots import robots_sitemaps
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    h = F.pmod("doc_id", F.lit(9)).cast("string")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\nSitemap: https://s"), h,
+        F.lit(".example.org/m"), F.col("doc_id").cast("string"),
+        F.lit(".xml # main\n"),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.concat(F.lit("sitemap: https://s"), h,
+                     F.lit(".example.org/extra.xml\n")),
+        ).otherwise(F.lit("")),
+        F.lit("Sitemap:\nNoise line\n"),
+    )
+    bodies = d.select(
+        F.concat(F.lit("host"), h, F.lit(".example.org")).alias("host"),
+        body.alias("body"),
+    )
+    return robots_sitemaps(bodies).orderBy("host", "sitemap_url")
+
+
+def q_recrawl_priorities(spark, sf):
+    # Cho-GM change-rate recrawl tiers over a synthetic fetch history:
+    # 120 urls × rounds with planted fingerprint churn and duplicate
+    # (url, round) retry rows (min-fp collapse)
+    from crawlspark.freshness import change_rates, recrawl_priorities
+
+    d = _t(spark, sf, "documents")
+    hist = d.select(
+        F.concat(
+            F.lit("https://h.org/p/"), F.pmod("doc_id", F.lit(120)).cast("string")
+        ).alias("url"),
+        F.pmod(F.expr("doc_id div 120"), F.lit(4)).cast("int").alias("round"),
+        F.concat(
+            F.lit("fp"), F.pmod(F.expr("(doc_id * 13) div 7"), F.lit(3)).cast("string")
+        ).alias("fingerprint"),
+    )
+    rates = change_rates(hist)
+    return rates.join(recrawl_priorities(rates), "url").orderBy("url")
 
 
 def q_host_rank(spark, sf):
@@ -1047,7 +1123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "substring_dedup": q_substring_dedup,
         "lm_likelihood": q_lm_likelihood,
+        "lm_buckets": q_lm_buckets,
         "crawl_trap_detect": q_crawl_trap_detect,
+        "anchor_text_index": q_anchor_text_index,
+        "crawl_robots_sitemaps": q_crawl_robots_sitemaps,
+        "recrawl_priorities": q_recrawl_priorities,
         "host_rank": q_host_rank,
         "crawl_sitemap_parse": q_crawl_sitemap_parse,
         "crawl_sitemap_frontier": q_crawl_sitemap_frontier,
@@ -1905,6 +1985,156 @@ def oracle_sql() -> dict[str, str]:
                              ELSE s // nb END AS BIGINT) AS lm_score_mean
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
             ORDER BY d.doc_id
+        """,
+        # quantized-histogram CCNet thirds over the lm_likelihood scores —
+        # same integer cuts (3*above < n / < 2n) on q = mean div 1e5
+        "lm_buckets": """
+            WITH tok AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       struct_extract(u.z, 1) AS w1,
+                       struct_extract(u.z, 2) AS w2
+                FROM tok,
+                     unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS u(z)
+            ),
+            cnt1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+            cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+            voc AS (
+                SELECT count(DISTINCT t.tok) AS v
+                FROM (SELECT unnest(w) AS tok FROM tok) t
+            ),
+            lik AS (
+                SELECT bg.doc_id,
+                       ((c2 + 1) * 1000000000) // (c1 + v) AS lik
+                FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1)
+                     CROSS JOIN voc
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS nb,
+                       CAST(sum(lik) AS BIGINT) AS s
+                FROM lik GROUP BY doc_id
+            ),
+            scored AS (
+                SELECT d.doc_id, d.lang,
+                       CAST(CASE WHEN COALESCE(nb, 0) = 0 THEN 0
+                                 ELSE s // nb END AS BIGINT) AS lm_score_mean
+                FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+            ),
+            qd AS (
+                SELECT doc_id, lang, lm_score_mean,
+                       lm_score_mean // 100000 AS q
+                FROM scored
+            ),
+            hist AS (SELECT lang, q, count(*) AS c FROM qd GROUP BY lang, q),
+            cuts AS (
+                SELECT lang, q,
+                       COALESCE(sum(c) OVER (
+                           PARTITION BY lang ORDER BY q DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS above,
+                       sum(c) OVER (PARTITION BY lang) AS n
+                FROM hist
+            )
+            SELECT qd.doc_id, qd.lang, qd.lm_score_mean,
+                   CASE WHEN above * 3 < n THEN 'head'
+                        WHEN above * 3 < n * 2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM qd JOIN cuts ON qd.lang = cuts.lang AND qd.q = cuts.q
+            ORDER BY qd.doc_id
+        """,
+        # Sitemap directives in closed form: every body yields its /m{id}
+        # map (comment stripped), doc_id%3==0 adds /extra.xml; empty-value
+        # and noise lines contribute nothing
+        "crawl_robots_sitemaps": """
+            SELECT 'host' || (doc_id % 9) || '.example.org' AS host,
+                   sm AS sitemap_url
+            FROM (
+                SELECT doc_id,
+                       'https://s' || (doc_id % 9) || '.example.org/m'
+                           || doc_id || '.xml' AS sm
+                FROM documents WHERE doc_id < 400
+                UNION ALL
+                SELECT doc_id,
+                       'https://s' || (doc_id % 9) || '.example.org/extra.xml'
+                FROM documents WHERE doc_id < 400 AND doc_id % 3 = 0
+            )
+            ORDER BY host, sitemap_url
+        """,
+        # lag-window mirror of change_rates + integer tier cuts; duplicate
+        # (url, round) retries collapse to min fingerprint first
+        "recrawl_priorities": """
+            WITH hist AS (
+                SELECT 'https://h.org/p/' || (doc_id % 120) AS url,
+                       CAST((doc_id // 120) % 4 AS INT) AS round,
+                       'fp' || (((doc_id * 13) // 7) % 3) AS fingerprint
+                FROM documents
+            ),
+            obs AS (
+                SELECT url, round, min(fingerprint) AS fp
+                FROM hist GROUP BY url, round
+            ),
+            marked AS (
+                SELECT url, round,
+                       CASE WHEN lag(fp) OVER w IS NULL THEN 0 ELSE 1 END
+                           AS has_prev,
+                       CASE WHEN lag(fp) OVER w IS NOT NULL
+                                 AND fp <> lag(fp) OVER w
+                            THEN 1 ELSE 0 END AS changed
+                FROM obs
+                WINDOW w AS (PARTITION BY url ORDER BY round)
+            ),
+            rates AS (
+                SELECT url,
+                       CAST(count(*) AS BIGINT) AS observations,
+                       CAST(sum(has_prev) AS BIGINT) AS intervals,
+                       CAST(sum(changed) AS BIGINT) AS changes,
+                       max(round) AS last_round
+                FROM marked GROUP BY url
+            )
+            SELECT url, observations, intervals, changes, last_round,
+                   CAST(CASE WHEN intervals = 0 THEN 2
+                             WHEN changes * 100 >= intervals * 50 THEN 0
+                             WHEN changes * 100 >= intervals * 10 THEN 1
+                             ELSE 3 END AS INT) AS recrawl_priority
+            FROM rates ORDER BY url
+        """,
+        # closed-form resolved edges of q_anchor_text_index's synthetic
+        # HTML (mailto: dropped), re-aggregated identically
+        "anchor_text_index": """
+            WITH e AS (
+                SELECT 'host' || (doc_id % 7) || '.example.org' AS src_host,
+                       'https://t' || (doc_id % 5) || '.example.org/x' AS url,
+                       'anchor ' || (doc_id % 3) AS anchor
+                FROM documents
+                UNION ALL
+                SELECT 'host' || (doc_id % 7) || '.example.org',
+                       'https://host' || (doc_id % 7) || '.example.org/rel/'
+                           || (doc_id % 4),
+                       'self ' || (doc_id % 2)
+                FROM documents
+            ),
+            totals AS (
+                SELECT url, count(*) AS n_inlinks,
+                       count(DISTINCT src_host) AS n_source_hosts
+                FROM e GROUP BY url
+            ),
+            pa AS (SELECT url, anchor, count(*) AS cnt FROM e GROUP BY url, anchor),
+            top AS (
+                SELECT url, anchor, cnt,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY cnt DESC, anchor ASC) AS rn
+                FROM pa
+            )
+            SELECT t.url,
+                   CAST(t.n_inlinks AS BIGINT) AS n_inlinks,
+                   CAST(t.n_source_hosts AS BIGINT) AS n_source_hosts,
+                   top.anchor AS top_anchor,
+                   CAST(top.cnt AS BIGINT) AS top_anchor_count
+            FROM totals t JOIN top ON t.url = top.url AND top.rn = 1
+            ORDER BY t.url
         """,
         # URL-shape mirror of q_crawl_trap_detect: hosts 0-2 carry trap
         # patterns (segment repeats / depth 10 / 5 params), 3-6 are clean

@@ -373,3 +373,83 @@ def url_trap_signals(
             (F.col("n_trap_urls") * 100 > F.col("n_urls") * trap_pct).alias("trap"),
         )
     )
+
+
+def extract_anchor_pairs_expr(html: Column, base_url: Column) -> Column:
+    """Array of (url, anchor) structs from an html payload — the outlink
+    edge WITH its anchor text (the classic web-corpus signal: anchor text
+    of inlinks describes the target better than the target's own page;
+    Brin & Page 1998 §2.2 index anchors against the linked page).
+
+    Same resolution subset and JVM-only construction as
+    ``extract_links_expr``: full ``<a … href="…">TEXT</a>`` matches via one
+    ``regexp_extract_all``, then per-match href/group re-extraction, RFC-3986
+    subset resolution through the canonicalizer, whitespace-collapsed anchor
+    text. Nested tags inside the anchor fail the ``[^<]*`` text group and
+    the pair is simply dropped (never a task failure).
+    """
+    s = html.cast("string")
+    pat = '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+    matches = F.regexp_extract_all(s, F.lit(pat), 0)
+    base_auth = F.regexp_extract(F.lower(base_url), r"^(https?://[^/?#]+)", 1)
+
+    def to_pair(m: Column) -> Column:
+        h = F.regexp_extract(m, pat, 1)
+        txt = F.trim(F.regexp_replace(F.regexp_extract(m, pat, 2), r"\s+", " "))
+        url = F.when(
+            h.rlike("(?i)^https?://"), canonicalize_expr(h)
+        ).when(
+            h.startswith("/") & (base_auth != ""),
+            canonicalize_expr(F.concat(base_auth, h)),
+        )
+        return F.struct(url.alias("url"), txt.alias("anchor"))
+
+    pairs = F.transform(matches, to_pair)
+    return F.filter(pairs, lambda p: p["url"].isNotNull())
+
+
+def anchor_text_index(
+    pages: DataFrame,
+    html_col: str = "payload",
+    base_col: str = "url",
+) -> DataFrame:
+    """Per-target anchor-text index over a pages frame: explode each page's
+    (target, anchor) pairs, then aggregate inlink counts, distinct source
+    hosts, and the most-frequent anchor per target.
+
+    Scale shape: ONE shuffle keyed by target for the combinable counts
+    (count + count-distinct-host via two-level agg), then the top-anchor
+    pick runs on the already-aggregated (target, anchor) frame — data-scale
+    rows never pass through a window; ties break deterministically by
+    (count desc, anchor asc). Popular-target skew lands in the aggregated
+    frame, which is orders of magnitude smaller than the edge list.
+
+    Output: (url, n_inlinks, n_source_hosts, top_anchor, top_anchor_count).
+    """
+    from pyspark.sql import Window
+
+    edges = pages.select(
+        host_expr(canonicalize_expr(F.col(base_col))).alias("src_host"),
+        F.explode(
+            extract_anchor_pairs_expr(F.col(html_col), F.col(base_col))
+        ).alias("p"),
+    ).select("src_host", F.col("p.url").alias("url"), F.col("p.anchor").alias("anchor"))
+    totals = edges.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("src_host").alias("n_source_hosts"),
+    )
+    per_anchor = edges.groupBy("url", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("url").orderBy(F.col("cnt").desc(), F.col("anchor").asc())
+    top = (
+        per_anchor.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "url", F.col("anchor").alias("top_anchor"),
+            F.col("cnt").alias("top_anchor_count"),
+        )
+    )
+    return totals.join(top, "url").select(
+        "url", "n_inlinks", "n_source_hosts", "top_anchor", "top_anchor_count"
+    )

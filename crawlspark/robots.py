@@ -120,3 +120,36 @@ def robots_rules_table(
         "host", "disallow_prefixes", "crawl_delay_s",
         budget.cast("int").alias("max_per_round"),
     )
+
+
+def robots_sitemaps(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, body) → exploded (host, sitemap_url) rows from ``Sitemap:``
+    directives — RFC 9309 §2.3 / sitemaps.org: the directive is independent
+    of any User-agent group, its value is an absolute URL, and multiple
+    directives are all kept (in body order). Completes the discovery loop
+    robots → sitemap ingestion (``crawlspark.sitemap``): feed these URLs to
+    the fetch edge and the bodies to ``parse_sitemap``.
+
+    Same shape discipline as ``parse_robots_txt``: one Catalyst
+    transform/filter per body, comment stripping at ``#``, case-insensitive
+    directive match, colons inside the URL preserved (split limit 2). The
+    only shuffle-relevant op is the explode, which is the desired output
+    grain.
+    """
+    lines = F.split(F.col(body_col), "\n")
+
+    def extract(raw):
+        line = F.trim(F.element_at(F.split(raw, "#", 2), 1))
+        parts = F.split(line, ":", 2)
+        directive = F.lower(F.trim(F.element_at(parts, 1)))
+        value = F.trim(F.try_element_at(parts, F.lit(2)))
+        return F.when(
+            (directive == "sitemap") & value.isNotNull() & (value != ""), value
+        )
+
+    urls = F.filter(F.transform(lines, extract), lambda x: x.isNotNull())
+    return df.select(
+        F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
+    )

@@ -1804,3 +1804,63 @@ def lm_likelihood(documents: DataFrame, scale: int = 10**9) -> DataFrame:
             F.expr("s div n_bigrams"), F.lit(0)
         ).cast("long").alias("lm_score_mean"),
     )
+
+
+def lm_buckets(
+    documents: DataFrame,
+    lang_col: str = "lang",
+    quant: int = 10**5,
+    scale: int = 10**9,
+) -> DataFrame:
+    """CCNet head/middle/tail partition by LM score within each language
+    (Wenzek et al. 2020 §4.3 bucket Common Crawl into thirds by per-lang
+    perplexity; higher likelihood == lower perplexity == 'head').
+
+    Scale-first construction: a per-language GLOBAL sort/window over the
+    corpus would funnel each language through one partition chain — at
+    100 TB the few-big-languages skew makes that the whole job. Instead the
+    score axis is quantized (``lm_score_mean div quant``) and classes are
+    cut on the QUANTIZED HISTOGRAM: one map-side-combinable
+    groupBy(lang, q) whose result is bounded by the score range (~1e4 rows
+    per lang at the defaults), a histogram-sized window to accumulate
+    descending counts, and a broadcast-sized join back. Docs sharing a
+    quantum share a class (CCNet's cutoffs are approximate by design);
+    classes are exact integer functions of the histogram, so a DuckDB
+    oracle reproduces them bit-for-bit.
+
+    A bucket whose first doc sits at descending-rank position p (0-based,
+    p = count of docs in strictly-higher quanta) is 'head' when 3p < n,
+    'middle' when 3p < 2n, else 'tail'.
+
+    Output: (doc_id, lang, lm_score_mean, ppl_bucket).
+    """
+    from pyspark.sql import Window
+
+    scored = lm_likelihood(documents, scale=scale).join(
+        documents.select("doc_id", F.col(lang_col).alias("lang")), "doc_id"
+    )
+    qd = scored.select(
+        "doc_id", "lang", "lm_score_mean",
+        F.expr(f"lm_score_mean div {quant}").alias("q"),
+    )
+    hist = qd.groupBy("lang", "q").agg(F.count(F.lit(1)).alias("c"))
+    w_desc = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("q").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_lang = Window.partitionBy("lang")
+    cuts = hist.select(
+        "lang", "q",
+        F.coalesce(F.sum("c").over(w_desc), F.lit(0)).alias("above"),
+        F.sum("c").over(w_lang).alias("n"),
+    ).select(
+        "lang", "q",
+        F.when(F.col("above") * 3 < F.col("n"), F.lit("head"))
+        .when(F.col("above") * 3 < F.col("n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+    return qd.join(cuts, ["lang", "q"]).select(
+        "doc_id", "lang", "lm_score_mean", "ppl_bucket"
+    )

@@ -92,3 +92,53 @@ def test_url_trap_signals_edges(spark):
     }
     h3 = got["h3"]  # repeat 4 AND 5 params -> trap URL, 1/1 -> host flagged
     assert h3["max_seg_repeat"] == 4 and h3["n_trap_urls"] == 1 and h3["trap"]
+
+
+def test_extract_anchor_pairs_resolution_and_edges(spark):
+    """href/anchor pair extraction: absolute + root-relative resolve,
+    mailto/javascript/fragment-only drop, nested-tag anchors drop, anchor
+    whitespace collapses, uppercase scheme-host canonicalizes."""
+    from crawlspark.canonical import extract_anchor_pairs_expr
+
+    html = (
+        '<a href="https://A.Example.org:443/x/../y">  Go \n here </a>'
+        '<a class="z" href="/p/1">rel</a>'
+        '<a href="mailto:a@b">m</a>'
+        '<a href="#frag">f</a>'
+        '<a href="https://ok.org/q"><b>nested</b></a>'
+        '<a href="https://ok.org/plain">plain</a>'
+    )
+    df = spark.createDataFrame(
+        [(html, "https://Host.example.org/base")], ["payload", "url"]
+    )
+    got = df.select(
+        extract_anchor_pairs_expr(F.col("payload"), F.col("url")).alias("p")
+    ).collect()[0]["p"]
+    pairs = [(r["url"], r["anchor"]) for r in got]
+    assert pairs == [
+        ("https://a.example.org/y", "Go here"),
+        ("https://host.example.org/p/1", "rel"),
+        ("https://ok.org/plain", "plain"),
+    ]
+
+
+def test_anchor_text_index_top_anchor_tiebreak(spark):
+    """Equal-count anchors break by anchor ASC deterministically; inlink
+    and distinct-source-host counts aggregate across pages."""
+    from crawlspark.canonical import anchor_text_index
+
+    t = "https://t.org/x"
+    mk = lambda a: f'<a href="{t}">{a}</a>'  # noqa: E731
+    rows = [
+        (mk("bbb"), "https://h1.org/p1"),
+        (mk("aaa"), "https://h1.org/p2"),
+        (mk("aaa") + mk("bbb"), "https://h2.org/p3"),
+    ]
+    df = spark.createDataFrame(rows, ["payload", "url"])
+    out = anchor_text_index(df).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r == {
+        "url": t, "n_inlinks": 4, "n_source_hosts": 2,
+        "top_anchor": "aaa", "top_anchor_count": 2,
+    }

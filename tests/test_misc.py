@@ -426,3 +426,63 @@ def test_robots_parser_feeds_crawler(spark, tmp_path):
     ).run()
     assert sum(r.robots_blocked for r in results) == sum(r.robots_blocked for r in results2)
     assert [r.fetched for r in results] == [r.fetched for r in results2]
+
+
+def test_robots_sitemaps_extraction(spark):
+    """Sitemap: directives — UA-independent, case-insensitive, URL colons
+    preserved (split limit 2), comments stripped, empty values dropped,
+    body order kept per host."""
+    from crawlspark.robots import robots_sitemaps
+
+    body = (
+        "User-agent: Other\nDisallow: /\n"
+        "Sitemap: https://a.org/s1.xml # comment\n"
+        "sitemap: https://a.org/s2.xml\n"
+        "SITEMAP:https://a.org/s3.xml\n"
+        "Sitemap:\n"          # empty value -> dropped
+        "Sitemap https://no-colon.org\n"  # colon-less -> dropped
+    )
+    df = spark.createDataFrame([("a.org", body), ("b.org", "no directives")],
+                               ["host", "body"])
+    rows = [(r["host"], r["sitemap_url"]) for r in robots_sitemaps(df).collect()]
+    assert rows == [
+        ("a.org", "https://a.org/s1.xml"),
+        ("a.org", "https://a.org/s2.xml"),
+        ("a.org", "https://a.org/s3.xml"),
+    ]
+
+
+def test_change_rates_and_recrawl_tiers(spark):
+    """Interval/change counting incl. duplicate (url, round) retry collapse;
+    tier boundaries at exactly 50% and 10% and the never-reobserved case."""
+    from crawlspark.freshness import change_rates, recrawl_priorities
+
+    rows = [
+        # hot: 2 intervals, 2 changes (100%)
+        ("u_hot", 0, "a"), ("u_hot", 1, "b"), ("u_hot", 2, "c"),
+        # boundary: 2 intervals, 1 change = 50% -> still hot (>=)
+        ("u_edge", 0, "a"), ("u_edge", 1, "a"), ("u_edge", 2, "b"),
+        # warm: 10 intervals, 1 change = 10% (>= warm_pct)
+        *[("u_warm", r, "x" if r < 5 else "y") for r in range(11)],
+        # cold: 3 intervals, 0 changes
+        ("u_cold", 0, "k"), ("u_cold", 1, "k"), ("u_cold", 2, "k"), ("u_cold", 3, "k"),
+        # unknown: observed once
+        ("u_new", 7, "z"),
+        # retry dup: same round seen twice with different fp -> min collapses,
+        # so NO phantom change interval appears
+        ("u_dup", 0, "m"), ("u_dup", 0, "q"), ("u_dup", 1, "m"),
+    ]
+    hist = spark.createDataFrame(rows, ["url", "round", "fingerprint"])
+    rates = change_rates(hist)
+    got = {r["url"]: r.asDict() for r in rates.join(
+        recrawl_priorities(rates), "url").collect()}
+    assert got["u_hot"]["recrawl_priority"] == 0
+    assert got["u_edge"]["recrawl_priority"] == 0
+    assert got["u_warm"]["recrawl_priority"] == 1
+    assert got["u_cold"]["recrawl_priority"] == 3
+    assert got["u_new"] == {
+        "url": "u_new", "observations": 1, "intervals": 0, "changes": 0,
+        "last_round": 7, "recrawl_priority": 2,
+    }
+    assert got["u_dup"]["observations"] == 2
+    assert got["u_dup"]["intervals"] == 1 and got["u_dup"]["changes"] == 0

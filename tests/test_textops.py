@@ -1034,3 +1034,25 @@ def test_lm_likelihood_parallelism_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_lm_buckets_thirds_and_tie_sharing(spark):
+    """quant=1 -> every distinct score is its own histogram bucket: 6 docs
+    with strictly increasing scores split into exact CCNet thirds; docs
+    sharing a score share a class even when the cut lands between them."""
+    from crawlspark.textops import lm_buckets
+
+    # doc i = token 'w{i}' repeated k times: its only bigram (w_i, w_i) has
+    # c1 = c2 = k-1, so score rises with k and docs never interact
+    rows = [(i, " ".join([f"w{i}"] * k), "xx") for i, k in enumerate([2, 3, 4, 5, 6, 7])]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r["doc_id"]: r["ppl_bucket"] for r in lm_buckets(docs, quant=1).collect()}
+    # k: 2 3 4 5 6 7 -> score ascending -> head = k in {7, 6}
+    assert got == {5: "head", 4: "head", 3: "middle", 2: "middle", 1: "tail", 0: "tail"}
+
+    # tie: three docs with identical score (same k, disjoint vocab) — all
+    # land in ONE bucket whose start position is 0 -> everyone 'head'
+    rows2 = [(i, " ".join([f"v{i}"] * 4), "yy") for i in range(3)]
+    docs2 = spark.createDataFrame(rows2, ["doc_id", "text", "lang"])
+    got2 = {r["doc_id"]: r["ppl_bucket"] for r in lm_buckets(docs2, quant=1).collect()}
+    assert set(got2.values()) == {"head"}

@@ -500,6 +500,70 @@ def main() -> None:
            "MapInPandas" not in p and "BatchEvalPython" not in p)])
     )
 
+    # 31. CCNet buckets: the class cut runs on the quantized HISTOGRAM — the
+    #     only Window in the plan consumes an aggregated frame, never the
+    #     data-scale doc rows
+    from crawlspark.textops import lm_buckets
+
+    q = lm_buckets(docs)
+    p = fmt(q)
+    sections.append(
+        ("CCNet thirds: histogram-cut window (no data-scale sort)", p,
+         [("window present for the histogram cumulation", "Window" in p),
+          ("histogram aggregate feeds the window (HashAggregate below)",
+           "HashAggregate" in p),
+          ("no single-partition exchange",
+           "Exchange SinglePartition" not in p),
+          ("no Python operator",
+           "MapInPandas" not in p and "BatchEvalPython" not in p)])
+    )
+
+    # 32. anchor-text index: data-scale rows pass only through combinable
+    #     aggregations; the top-anchor window sits on the (url, anchor)
+    #     aggregate
+    from crawlspark.canonical import anchor_text_index
+
+    q = anchor_text_index(
+        docs.select(
+            F.concat(F.lit('<a href="https://t'),
+                     (F.col("doc_id") % 5).cast("string"),
+                     F.lit('.org/x">a</a>')).alias("payload"),
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".org/p")).alias("url"),
+        )
+    )
+    p = fmt(q)
+    sections.append(
+        ("Anchor-text index: combinable aggs, window above the aggregate", p,
+         [("map-side partial aggregation", "HashAggregate" in p),
+          ("no single-partition exchange",
+           "Exchange SinglePartition" not in p),
+          ("no cartesian product", "CartesianProduct" not in p),
+          ("no Python operator",
+           "MapInPandas" not in p and "BatchEvalPython" not in p)])
+    )
+
+    # 33. freshness recrawl: the lag window partitions by url (bounded by
+    #     round count per partition), aggregation is combinable, no Python
+    from crawlspark.freshness import change_rates, recrawl_priorities
+
+    hist = docs.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 120).cast("string")).alias("url"),
+        (F.col("doc_id") % 4).cast("int").alias("round"),
+        F.concat(F.lit("fp"), (F.col("doc_id") % 3).cast("string")).alias("fingerprint"),
+    )
+    r = change_rates(hist)
+    q = r.join(recrawl_priorities(r), "url")
+    p = fmt(q)
+    sections.append(
+        ("Freshness recrawl: keyed lag window + combinable agg", p,
+         [("window partitioned by url (never global)",
+           "Window" in p and "Exchange SinglePartition" not in p),
+          ("map-side partial aggregation", "HashAggregate" in p),
+          ("no Python operator",
+           "MapInPandas" not in p and "BatchEvalPython" not in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
