@@ -768,6 +768,31 @@ def q_anchor_text_index(spark, sf):
     return anchor_text_index(pages).orderBy("url")
 
 
+def q_html_to_text(spark, sf):
+    # WET-step visible-text extraction over synthesized HTML wrapping the
+    # documents' text; oracle runs the identical Java∩RE2 regexp chain
+    from crawlspark.textops import html_to_text
+
+    d = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>t</title><style>x{color:red}</style>"
+              "<script>var a=1;</script></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><div>A &amp;amp; B &lt;tag&gt;</div><!-- note --><ul><li>one"
+              "</li><li>two</li></ul><br/>end</body></html>"),
+    )
+    return html_to_text(
+        d.select("doc_id", html.alias("payload"))
+    ).orderBy("doc_id")
+
+
+def q_term_postings(spark, sf):
+    # exact TF/DF inverted-index fact table (integer core of TF-IDF)
+    from crawlspark.textops import term_postings
+
+    return term_postings(_t(spark, sf, "documents")).orderBy("term", "doc_id")
+
+
 def q_crawl_robots_sitemaps(spark, sf):
     # Sitemap: directive extraction (RFC 9309 §2.3) — UA-independent, colon
     # in the URL preserved, comments stripped, multiple directives kept
@@ -1128,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": q_anchor_text_index,
         "crawl_robots_sitemaps": q_crawl_robots_sitemaps,
         "recrawl_priorities": q_recrawl_priorities,
+        "html_to_text": q_html_to_text,
+        "term_postings": q_term_postings,
         "host_rank": q_host_rank,
         "crawl_sitemap_parse": q_crawl_sitemap_parse,
         "crawl_sitemap_frontier": q_crawl_sitemap_frontier,
@@ -2044,6 +2071,63 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket
             FROM qd JOIN cuts ON qd.lang = cuts.lang AND qd.q = cuts.q
             ORDER BY qd.doc_id
+        """,
+        # identical regexp chain over the same synthesized HTML (patterns
+        # stay in the Java-RE2 common subset; e'\n' = the literal newline
+        # Spark's replacement strings produce; chr(39) = the apostrophe)
+        "html_to_text": """
+            WITH raw AS (
+                SELECT doc_id,
+                       '<html><head><title>t</title><style>x{color:red}</style>'
+                       || '<script>var a=1;</script></head><body><p>'
+                       || text
+                       || '</p><div>A &amp;amp; B &lt;tag&gt;</div><!-- note -->'
+                       || '<ul><li>one</li><li>two</li></ul><br/>end</body></html>'
+                       AS s
+                FROM raw0
+            ),
+            st AS (
+                SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(regexp_replace(
+                    replace(replace(replace(replace(replace(replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(
+                              regexp_replace(s, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                            '(?s)<!--.*?-->', ' ', 'g'),
+                          '(?i)</(p|div|li|tr|h[1-6]|br)>|<br[^>]*>', e'\n', 'g'),
+                        '<[^>]+>', ' ', 'g'),
+                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                    '[ \t]+', ' ', 'g'),
+                    e' ?\n ?', e'\n', 'g'),
+                    e'\n{2,}', e'\n', 'g')) AS text
+                FROM raw
+            )
+            SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+            FROM st ORDER BY doc_id
+        """.replace("FROM raw0", "FROM documents"),
+        "term_postings": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1))
+                           AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT term, doc_id, count(*) AS tf
+                FROM toks GROUP BY term, doc_id
+            ),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+            SELECT term, doc_id,
+                   CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(n_docs AS BIGINT) AS n_docs
+            FROM tf JOIN dfq USING (term) CROSS JOIN nd
+            ORDER BY term, doc_id
         """,
         # Sitemap directives in closed form: every body yields its /m{id}
         # map (comment stripped), doc_id%3==0 adds /extra.xml; empty-value

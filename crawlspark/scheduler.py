@@ -438,6 +438,26 @@ class Crawler:
         else:
             budget = F.coalesce(F.col("max_per_round"), F.lit(s.default_host_budget))
 
+        # opt-in trap derating (settings.crawl.trap_detect): flag hosts whose
+        # candidate URL shapes look like crawler traps and divide their
+        # budget. The host-level trap frame is one combinable agg over the
+        # cached batch; the join re-keys the batch by chost — an extra
+        # data-scale shuffle, which is why the knob defaults OFF and the
+        # derate runs only when the politeness windows run at all (not bulk)
+        if s.trap_detect and s.budget_override is None:
+            from .canonical import url_trap_signals
+
+            traps = url_trap_signals(
+                base.select(F.col("curl").alias("url"), F.col("chost").alias("host"))
+            ).select(F.col("host").alias("chost"), "trap")
+            base = base.join(traps, "chost", "left")
+            budget = F.when(
+                F.coalesce(F.col("trap"), F.lit(False)),
+                F.greatest(
+                    F.floor(budget / F.lit(s.trap_budget_divisor)), F.lit(1)
+                ).cast("int"),
+            ).otherwise(budget)
+
         # 4. politeness: two-phase exact per-host top-k over ELIGIBLE rows only
         #    (windows must see only eligible rows — a masked row_number would
         #    still count ineligible partition members)

@@ -78,6 +78,12 @@ class CrawlSettings:
     # reference-parity oracle
     curate: bool = False
     curate_jaccard_threshold: float = 0.8
+    # opt-in crawl-trap derating: score each round's candidate URL shapes
+    # (canonical.url_trap_signals) and divide a flagged host's politeness
+    # budget by trap_budget_divisor (floor 1). Default OFF — same
+    # oracle-parity reasoning as discover_links/curate
+    trap_detect: bool = False
+    trap_budget_divisor: int = 4
 
 
 @dataclass

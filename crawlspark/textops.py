@@ -1864,3 +1864,74 @@ def lm_buckets(
     return qd.join(cuts, ["lang", "q"]).select(
         "doc_id", "lang", "lm_score_mean", "ppl_bucket"
     )
+
+
+# --------------------------------------------------------------------------
+# HTML → text extraction and term postings (search-side surfaces)
+# --------------------------------------------------------------------------
+
+def html_to_text(
+    pages: DataFrame, html_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Visible-text extraction from raw HTML — the WET-file step of a
+    Common-Crawl-style corpus (WARC response → plain text record): drop
+    script/style/comment blocks, break block-level closes into newlines,
+    strip the remaining tags, decode the five XML entities + &nbsp;, and
+    collapse whitespace.
+
+    Pure Catalyst regexp chain (one projection, no Python, pushes through
+    shuffles for free at 10^10 pages). Patterns stay inside the Java∩RE2
+    common subset — the same discipline as pii_redact — so a DuckDB oracle
+    runs the identical chain.
+
+    Output: (doc_id, text, n_chars).
+    """
+    s = F.col(html_col).cast("string")
+    s = F.regexp_replace(s, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?i)</(p|div|li|tr|h[1-6]|br)>|<br[^>]*>", "\n")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.regexp_replace(s, r"[ \t]+", " ")
+    s = F.regexp_replace(s, r" ?\n ?", "\n")
+    s = F.regexp_replace(s, r"\n{2,}", "\n")
+    s = F.trim(s)
+    return pages.select(
+        F.col(id_col).alias("doc_id"),
+        s.alias("text"),
+        F.length(s).cast("long").alias("n_chars"),
+    )
+
+
+def term_postings(documents: DataFrame) -> DataFrame:
+    """Exact TF/DF postings over the corpus — the inverted-index fact table
+    (and the exact-integer core of TF-IDF: weights need only ln(n_docs/df),
+    which the CONSUMER applies so every stored number stays an associative
+    long and a DuckDB oracle matches bit-for-bit; same reasoning as
+    lm_likelihood's fixed-point axis).
+
+    Tokens are lowercase ``[a-z0-9]+`` runs. Scale shape: tf is one
+    map-side-combinable groupBy(term, doc) over the exploded tokens; df
+    aggregates the ALREADY-AGGREGATED tf table (never the raw token
+    stream); n_docs rides a 1-row broadcast. Stopword-term skew lands in
+    combinable counts and the df probe join, where AQE skew-split applies.
+
+    Output: (term, doc_id, tf, df, n_docs).
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z0-9]+)"), 1)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", "doc_id", "tf", "df", "n_docs")
+    )

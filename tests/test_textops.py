@@ -1056,3 +1056,43 @@ def test_lm_buckets_thirds_and_tie_sharing(spark):
     docs2 = spark.createDataFrame(rows2, ["doc_id", "text", "lang"])
     got2 = {r["doc_id"]: r["ppl_bucket"] for r in lm_buckets(docs2, quant=1).collect()}
     assert set(got2.values()) == {"head"}
+
+
+def test_html_to_text_strips_boilerplate(spark):
+    """script/style/comment blocks drop, block closes become newlines,
+    entities decode (amp last -- no double decode), whitespace collapses."""
+    from crawlspark.textops import html_to_text
+
+    html = (
+        "<html><head><style>p{}</style><script>if(a<b){}</script></head>"
+        "<body><h1>Title</h1><p>Hello   <b>world</b></p>"
+        "<!-- hidden --><div>A &amp;amp; B &lt;x&gt; &#39;q&#39;</div>"
+        "<ul><li>one</li><li>two</li></ul>tail</body></html>"
+    )
+    out = html_to_text(
+        spark.createDataFrame([(1, html)], ["doc_id", "payload"])
+    ).collect()[0]
+    assert out["text"] == (
+        "Title\nHello world\nA &amp; B <x> 'q'\none\ntwo\ntail"
+    )
+    assert out["n_chars"] == len(out["text"])
+
+
+def test_term_postings_exact_counts(spark):
+    """TF per (term, doc), DF per term, n_docs scalar -- tokenizer is
+    lowercase [a-z0-9]+ runs (punctuation splits, case folds)."""
+    from crawlspark.textops import term_postings
+
+    docs = spark.createDataFrame(
+        [(1, "The cat, the CAT!"), (2, "a cat"), (3, "dog-house dog")],
+        ["doc_id", "text"],
+    )
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["df"], r["n_docs"])
+           for r in term_postings(docs).collect()}
+    assert got[("the", 1)] == (2, 1, 3)
+    assert got[("cat", 1)] == (2, 2, 3)
+    assert got[("cat", 2)] == (1, 2, 3)
+    assert got[("a", 2)] == (1, 1, 3)
+    assert got[("dog", 3)] == (2, 1, 3)
+    assert got[("house", 3)] == (1, 1, 3)
+    assert len(got) == 6

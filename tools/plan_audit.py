@@ -564,6 +564,33 @@ def main() -> None:
            "MapInPandas" not in p and "BatchEvalPython" not in p)])
     )
 
+    # 34. WET text extraction: one shuffle-free regexp projection
+    from crawlspark.textops import html_to_text, term_postings
+
+    q = html_to_text(docs.select("doc_id", F.col("text").alias("payload")))
+    p = fmt(q)
+    sections.append(
+        ("WET text extraction: shuffle-free regexp projection", p,
+         [("no Exchange anywhere", "Exchange" not in p),
+          ("whole-stage codegen", "codegen id" in p),
+          ("no Python operator",
+           "MapInPandas" not in p and "BatchEvalPython" not in p)])
+    )
+
+    # 35. term postings: df aggregates the AGGREGATED tf table; n_docs is a
+    #     1-row broadcast; no Python, no cartesian
+    q = term_postings(docs)
+    p = fmt(q)
+    sections.append(
+        ("Term postings: combinable tf/df aggs + scalar broadcast", p,
+         [("map-side partial aggregation", "HashAggregate" in p),
+          ("n_docs scalar joins via broadcast",
+           "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p),
+          ("no cartesian product", "CartesianProduct" not in p),
+          ("no Python operator",
+           "MapInPandas" not in p and "BatchEvalPython" not in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
