@@ -958,6 +958,49 @@ def q_crawl_warc_pages(spark, sf):
     ).orderBy("url")
 
 
+def q_pipeline_warc_wet(spark, sf):
+    # the full ingestion chain composed: WARC byte walk → PAGES load edge →
+    # WET visible-text extraction → Gopher gates. One connected plan from
+    # archive bytes to per-document keep verdicts (the Common-Crawl
+    # WARC→WET→filtered-corpus path in one query).
+    from crawlspark.textops import gopher_quality_rules, html_to_text
+    from crawlspark.warc import pages_from_warc, parse_warc
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit("<html><head><script>var a=1;</script></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><div>tail &amp; x</div></body></html>"),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), payload
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://w"),
+        did, F.lit(".example.org/p\r\nWARC-Date: 2024-01-02T03:04:05Z\r\n"
+                   "Content-Type: application/http; msgtype=response\r\n"
+                   "Content-Length: "),
+        F.length(http).cast("string"), F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+    )
+    archives = d.select(
+        F.concat(F.lit("w"), did).alias("path"),
+        F.encode(rec, "UTF-8").alias("content"),
+    )
+    pages = pages_from_warc(parse_warc(archives))
+    wet = html_to_text(
+        pages.select(F.col("url").alias("doc_id"), F.col("html").alias("payload"))
+    )
+    # gates are a pure projection — carry text/n_chars through instead of
+    # re-joining wet (a join would DUPLICATE the WARC-parse subtree: two
+    # MapInPandas in the plan, the byte walk run twice)
+    return (
+        gopher_quality_rules(wet, carry_cols=("text", "n_chars"))
+        .select(F.col("doc_id").alias("url"), "text", "n_chars", "n_words", "keep")
+        .orderBy("url")
+    )
+
+
 def q_pipeline_training_set(spark, sf):
     # SECOND COMPOSED PIPELINE, fully SQL-oracle-expressible end-to-end:
     # the "raw corpus → training set" chain a 100 TB curation run executes —
@@ -1155,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priorities": q_recrawl_priorities,
         "html_to_text": q_html_to_text,
         "term_postings": q_term_postings,
+        "pipeline_warc_wet": q_pipeline_warc_wet,
         "host_rank": q_host_rank,
         "crawl_sitemap_parse": q_crawl_sitemap_parse,
         "crawl_sitemap_frontier": q_crawl_sitemap_frontier,
@@ -2088,7 +2132,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             st AS (
                 SELECT doc_id,
-                  trim(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                     replace(replace(replace(replace(replace(replace(
                       regexp_replace(
                         regexp_replace(
@@ -2103,7 +2147,8 @@ def oracle_sql() -> dict[str, str]:
                       '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
                     '[ \t]+', ' ', 'g'),
                     e' ?\n ?', e'\n', 'g'),
-                    e'\n{2,}', e'\n', 'g')) AS text
+                    e'\n{2,}', e'\n', 'g'),
+                    '^\s+|\s+$', '', 'g') AS text
                 FROM raw
             )
             SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
@@ -2128,6 +2173,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_docs AS BIGINT) AS n_docs
             FROM tf JOIN dfq USING (term) CROSS JOIN nd
             ORDER BY term, doc_id
+        """,
+        # closed form: the WET text of the synthesized archive is exactly
+        # text || '\ntail & x' (documents.text verified free of multi-space
+        # / tag / entity bytes at sf0.01 and sf0.1); gates mirror
+        # gopher_quality_rules over that text
+        "pipeline_warc_wet": """
+            WITH wet AS (
+                SELECT 'https://w' || CAST(doc_id AS VARCHAR)
+                           || '.example.org/p' AS url,
+                       text || e'\ntail & x' AS text
+                FROM documents WHERE doc_id < 300
+            ),
+            feat AS (
+                SELECT url, text,
+                       len(string_split(text, ' ')) AS nw,
+                       len(list_filter(string_split(text, ' '),
+                                       w -> regexp_matches(w, '[a-zA-Z]'))) AS aw,
+                       cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS bigint)
+                       + cast((length(p) - length(replace(p, ' and ', ''))) / 5 AS bigint)
+                       + cast((length(p) - length(replace(p, ' of ', ''))) / 4 AS bigint)
+                       + cast((length(p) - length(replace(p, ' to ', ''))) / 4 AS bigint)
+                       + cast((length(p) - length(replace(p, ' in ', ''))) / 4 AS bigint)
+                           AS sh
+                FROM (SELECT url, text, ' ' || text || ' ' AS p FROM wet)
+            )
+            SELECT url, text,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(nw AS BIGINT) AS n_words,
+                   ((nw >= 20 AND nw <= 100000)
+                    AND (length(text) * 1.0 / nw >= 3.0
+                         AND length(text) * 1.0 / nw <= 10.0)
+                    AND (aw * 1.0 / nw >= 0.8)
+                    AND (sh >= 2)) AS keep
+            FROM feat ORDER BY url
         """,
         # Sitemap directives in closed form: every body yields its /m{id}
         # map (comment stripped), doc_id%3==0 adds /extra.xml; empty-value

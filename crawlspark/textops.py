@@ -1147,6 +1147,7 @@ def gopher_quality_rules(
     max_mean_word_len: float = 10.0,
     min_alpha_word_ratio: float = 0.8,
     min_stopword_hits: int = 2,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Gopher-style document quality gates (public rule family: Rae et al.
     2021, "Scaling Language Models" §A1.1): word-count bounds, mean-word-
@@ -1157,7 +1158,9 @@ def gopher_quality_rules(
     Output: per-doc rule features + the per-rule booleans + the final
     ``keep`` conjunction (the pipeline filter is ``.filter("keep")``, kept
     separate here so rejected docs stay inspectable — the reference's
-    quarantine pattern, S24)."""
+    quarantine pattern, S24). ``carry_cols`` passes input columns through
+    the projection so composed pipelines need no self-join (the gates are
+    pure expressions of ``text``)."""
     words = F.split(F.col("text"), " ")
     n_words = F.size(words).cast("long")
     mean_wl = F.length("text") / n_words
@@ -1174,6 +1177,7 @@ def gopher_quality_rules(
     ok_stop = stop_hits >= min_stopword_hits
     return documents.select(
         "doc_id",
+        *carry_cols,
         n_words.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         alpha_words.alias("alpha_words"),
@@ -1898,7 +1902,7 @@ def html_to_text(
     s = F.regexp_replace(s, r"[ \t]+", " ")
     s = F.regexp_replace(s, r" ?\n ?", "\n")
     s = F.regexp_replace(s, r"\n{2,}", "\n")
-    s = F.trim(s)
+    s = F.regexp_replace(s, r"^\s+|\s+$", "")  # trim ALL edge whitespace (trim() spares \n)
     return pages.select(
         F.col(id_col).alias("doc_id"),
         s.alias("text"),

@@ -591,6 +591,21 @@ def main() -> None:
            "MapInPandas" not in p and "BatchEvalPython" not in p)])
     )
 
+    # 36. WARC→WET→gates composed pipeline: exactly ONE Python operator
+    #     (the WARC byte walk), an exchange below it (selector-spin guard),
+    #     everything downstream pure Catalyst
+    q = em.q_pipeline_warc_wet(spark, SF)
+    p = fmt(q)
+    sections.append(
+        ("WARC→WET→gates pipeline: one Python op, Catalyst downstream", p,
+         [("exactly one Arrow mapInPandas (the byte walk)",
+           # count tree nodes "MapInPandas (n)", not the detail section's
+           # "(n) MapInPandas" echo of the same node
+           p.count("MapInPandas (") == 1 and "BatchEvalPython" not in p),
+          ("exchange below the UDF (selector-spin guard)", "Exchange" in p),
+          ("no cartesian product", "CartesianProduct" not in p)])
+    )
+
     out = ["# PLANS.md — physical-plan audit (generated by tools/plan_audit.py)", ""]
     ok_all = True
     for title, plan, checks in sections:
