@@ -257,3 +257,60 @@ def test_host_rank_priorities_steer_crawl_order(spark, tmp_path):
     assert fetched[boosted] == {
         synth.page_url(2, n_hosts), synth.page_url(6, n_hosts)
     }
+
+
+def test_freshness_driven_recrawl_loop(spark, tmp_path):
+    """freshness tiers -> Crawler.evict -> re-fetch: URLs whose observation
+    history shows fingerprint churn land in tier 0, get evicted from the
+    seen set (re-queued), and the next run() re-fetches EXACTLY them."""
+    from crawlspark import schemas, synth
+    from crawlspark.freshness import change_rates, recrawl_priorities
+    from crawlspark.scheduler import Crawler
+    from crawlspark.settings import Settings
+    from crawlspark.warehouse import Warehouse
+
+    n_pages, n_hosts = 12, 3
+    pages = spark.createDataFrame(
+        [synth.page_row(i, n_hosts) for i in range(n_pages)], schemas.PAGES
+    )
+    robots = spark.createDataFrame(
+        [{"host": f"host{h}.example.org", "disallow_prefixes": [],
+          "crawl_delay_s": 1.0, "max_per_round": 8} for h in range(n_hosts)],
+        schemas.ROBOTS,
+    )
+    urls = [synth.page_url(i, n_hosts) for i in range(n_pages)]
+    frontier = spark.createDataFrame(
+        [{"url": u, "host": f"host{synth.host_of(i, n_hosts)}.example.org",
+          "priority": 0, "warc_ts": synth.warc_ts(i), "provider": "seed",
+          "discovered_round": 0, "retries": 0} for i, u in enumerate(urls)],
+        schemas.FRONTIER,
+    )
+    wh = Warehouse(str(tmp_path / "wh"))
+    crawler = Crawler(
+        spark, Settings.new(), wh, synth.golden_fields(), pages, robots,
+        frontier, None,
+    )
+    r1 = crawler.run()
+    assert sum(r.fetched for r in r1) == n_pages
+
+    # observation history: even doc ids changed between observations (hot)
+    hot = {urls[i] for i in range(n_pages) if i % 2 == 0}
+    hist = spark.createDataFrame(
+        [(u, 0, "a") for u in urls]
+        + [(u, 1, "b" if u in hot else "a") for u in urls],
+        ["url", "round", "fingerprint"],
+    )
+    rates = change_rates(hist)
+    tier0 = recrawl_priorities(rates).filter(
+        F.col("recrawl_priority") == 0
+    ).select("url")
+    assert crawler.evict(tier0) == len(hot)
+
+    r2 = crawler.run()
+    assert sum(r.fetched for r in r2) == len(hot)
+    log = wh.read_appends(spark, "crawl_log", schemas.CRAWL_LOG)
+    refetched = {
+        r["url"] for r in log.collect()
+        if r["fetched"] and r["round"] >= len(r1)
+    }
+    assert refetched == hot
