@@ -282,16 +282,20 @@ def extract_links_expr(html: Column, base_url: Column) -> Column:
     s = html.cast("string")
     hrefs = F.regexp_extract_all(s, F.lit('href="([^"]+)"'), 1)
     base_auth = F.regexp_extract(F.lower(base_url), r"^(https?://[^/?#]+)", 1)
+    # resolve first, canonicalize ONCE: inlining canonicalize_expr in each
+    # WHEN branch doubled the (6-pass regex) expression tree per href
     resolved = F.transform(
         hrefs,
         lambda h: F.when(
-            h.rlike("(?i)^https?://"), canonicalize_expr(h)
+            h.rlike("(?i)^https?://"), h
         ).when(
-            h.startswith("/") & (base_auth != ""),
-            canonicalize_expr(F.concat(base_auth, h)),
+            h.startswith("/") & (base_auth != ""), F.concat(base_auth, h)
         ),
     )
-    return F.array_distinct(F.filter(resolved, lambda x: x.isNotNull()))
+    canon = F.transform(
+        resolved, lambda c: F.when(c.isNotNull(), canonicalize_expr(c))
+    )
+    return F.array_distinct(F.filter(canon, lambda x: x.isNotNull()))
 
 
 # --------------------------------------------------------------------------
@@ -393,18 +397,31 @@ def extract_anchor_pairs_expr(html: Column, base_url: Column) -> Column:
     matches = F.regexp_extract_all(s, F.lit(pat), 0)
     base_auth = F.regexp_extract(F.lower(base_url), r"^(https?://[^/?#]+)", 1)
 
-    def to_pair(m: Column) -> Column:
+    def to_raw(m: Column) -> Column:
         h = F.regexp_extract(m, pat, 1)
         txt = F.trim(F.regexp_replace(F.regexp_extract(m, pat, 2), r"\s+", " "))
-        url = F.when(
-            h.rlike("(?i)^https?://"), canonicalize_expr(h)
+        cand = F.when(
+            h.rlike("(?i)^https?://"), h
         ).when(
-            h.startswith("/") & (base_auth != ""),
-            canonicalize_expr(F.concat(base_auth, h)),
+            h.startswith("/") & (base_auth != ""), F.concat(base_auth, h)
         )
-        return F.struct(url.alias("url"), txt.alias("anchor"))
+        return F.struct(cand.alias("url"), txt.alias("anchor"))
 
-    pairs = F.transform(matches, to_pair)
+    # two-stage transform: stage 1 binds the resolved candidate as a lambda
+    # variable, so stage 2's canonicalizer (whose expression tree references
+    # its argument several times — HOF columns get no subexpression
+    # elimination) re-reads a cheap variable instead of re-running the
+    # regexp extraction per reference
+    raw = F.transform(matches, to_raw)
+    pairs = F.transform(
+        raw,
+        lambda p: F.struct(
+            F.when(
+                p["url"].isNotNull(), canonicalize_expr(p["url"])
+            ).alias("url"),
+            p["anchor"].alias("anchor"),
+        ),
+    )
     return F.filter(pairs, lambda p: p["url"].isNotNull())
 
 
