@@ -838,6 +838,26 @@ def q_recrawl_priorities(spark, sf):
     return rates.join(recrawl_priorities(rates), "url").orderBy("url")
 
 
+def q_crawl_host_graph(spark, sf):
+    # fetched pages → the host link graph host_rank consumes (self-host
+    # edges drop, duplicates collapse); oracle states the resolved edges
+    from crawlspark.hostrank import host_graph_from_pages
+
+    d = _t(spark, sf, "documents")
+    h = F.pmod("doc_id", F.lit(7)).cast("string")
+    html = F.concat(
+        F.lit('<a href="https://t'), F.pmod("doc_id", F.lit(5)).cast("string"),
+        F.lit('.example.org/x">a</a><a href="/self">s</a>'
+              '<a href="https://host'), h, F.lit('.example.org/p">own</a>'),
+    )
+    base = F.concat(
+        F.lit("https://host"), h, F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    pages = d.select(html.alias("payload"), base.alias("url"))
+    return host_graph_from_pages(pages).orderBy("src", "dst")
+
+
 def q_host_rank(spark, sf):
     # fixed-point integer PageRank over a synthetic host graph (50 hosts,
     # hosts h0/h10/h20/h30/h40 dangling); bit-exact at any parallelism, so
@@ -1196,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": q_anchor_text_index,
         "crawl_robots_sitemaps": q_crawl_robots_sitemaps,
         "recrawl_priorities": q_recrawl_priorities,
+        "crawl_host_graph": q_crawl_host_graph,
         "html_to_text": q_html_to_text,
         "term_postings": q_term_postings,
         "pipeline_warc_wet": q_pipeline_warc_wet,
@@ -2347,6 +2368,16 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN depth > 8 OR seg_repeat > 2 OR n_params > 4
                             THEN 1 ELSE 0 END) * 100 > count(*) * 50 AS trap
             FROM feat GROUP BY host ORDER BY host
+        """,
+        # resolved host edges in closed form: one cross-host link per doc
+        # (host doc%7 -> t doc%5), the root-relative and own-host links are
+        # self-edges and drop; DISTINCT collapses repeats
+        "crawl_host_graph": """
+            SELECT DISTINCT
+                   'host' || (doc_id % 7) || '.example.org' AS src,
+                   't' || (doc_id % 5) || '.example.org' AS dst
+            FROM documents
+            ORDER BY src, dst
         """,
         "host_rank": _host_rank_sql(iterations=6),
         # closed form of the parsed WARC archives: two records per doc —

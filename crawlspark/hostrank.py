@@ -141,3 +141,31 @@ def frontier_with_rank(frontier: DataFrame, priorities: DataFrame) -> DataFrame:
         .withColumn("priority", F.coalesce("rank_priority", "priority").cast("int"))
         .drop("rank_priority")
     )
+
+
+def host_graph_from_pages(
+    pages: DataFrame, html_col: str = "payload", base_col: str = "url"
+) -> DataFrame:
+    """Fetched pages → the (src, dst) HOST link graph ``host_rank``
+    consumes — the missing edge between crawl output and frontier
+    prioritization (Cho, Garcia-Molina & Page 1998 rank the frontier from
+    the link graph the crawl itself discovers).
+
+    Hosts come from the canonicalized page URL and each resolved outlink
+    (``canonical.extract_links_expr`` — two-stage transform, JVM-side);
+    self-edges drop here and duplicate edges collapse via the DISTINCT
+    (host_rank would drop/collapse them anyway — doing it at the source
+    shrinks the exploded edge list before the shuffle). One explode + one
+    distinct on (src, dst): at 10^10 pages the distinct's shuffle is keyed
+    by host pairs — orders of magnitude smaller than the outlink list.
+    """
+    from .canonical import canonicalize_expr, extract_links_expr, host_expr
+
+    src = host_expr(canonicalize_expr(F.col(base_col)))
+    edges = pages.select(
+        src.alias("src"),
+        F.explode(
+            extract_links_expr(F.col(html_col), F.col(base_col))
+        ).alias("_link"),
+    ).select("src", host_expr(F.col("_link")).alias("dst"))
+    return edges.filter(F.col("src") != F.col("dst")).distinct()

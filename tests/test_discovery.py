@@ -314,3 +314,39 @@ def test_freshness_driven_recrawl_loop(spark, tmp_path):
         if r["fetched"] and r["round"] >= len(r1)
     }
     assert refetched == hot
+
+
+def test_host_graph_from_pages_composes_with_rank(spark):
+    """pages -> host graph -> host_rank -> rank_priorities -> overlay: the
+    discovery loop closes on crawl output. A hub host linked by all others
+    must earn the best tier."""
+    from crawlspark.hostrank import (
+        frontier_with_rank, host_graph_from_pages, host_rank, rank_priorities,
+    )
+
+    def page(host, links):
+        html = "".join(f'<a href="https://{t}/x">t</a>' for t in links)
+        return (html, f"https://{host}/p")
+
+    hub = "hub.org"
+    spokes = [f"s{i}.org" for i in range(6)]
+    rows = [page(s, [hub, "dead-end.org"]) for s in spokes]
+    rows.append(page(hub, [spokes[0], spokes[0]]))  # dup edge collapses
+    rows.append(page(hub, [hub]))                   # self edge drops
+    pages = spark.createDataFrame(rows, ["payload", "url"])
+    g = host_graph_from_pages(pages)
+    edges = {(r["src"], r["dst"]) for r in g.collect()}
+    assert (hub, spokes[0]) in edges and (hub, hub) not in edges
+    assert g.count() == len(edges)  # distinct collapsed the dup
+    assert edges == {(s, hub) for s in spokes} | {
+        (s, "dead-end.org") for s in spokes
+    } | {(hub, spokes[0])}
+
+    prios = rank_priorities(host_rank(g, iterations=5))
+    tiers = {r["host"]: r["rank_priority"] for r in prios.collect()}
+    assert tiers[hub] == min(tiers.values())  # the hub earns the best tier
+    fr = spark.createDataFrame(
+        [("https://hub.org/new", hub, 9)], ["url", "host", "priority"]
+    )
+    got = frontier_with_rank(fr, prios).collect()[0]
+    assert got["priority"] == tiers[hub]
