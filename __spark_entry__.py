@@ -938,14 +938,14 @@ def _warc_archives(spark, sf):
         did, F.lit(".example.org/p\r\nWARC-Date: 2024-01-02T03:04:05Z\r\n"
                    "Content-Type: application/http; msgtype=response\r\n"
                    "Content-Length: "),
-        F.length(http).cast("string"), F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+        F.length(F.encode(http, "UTF-8")).cast("string"), F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
     )
     meta = F.concat(F.lit("meta"), did)
     rec2 = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: https://w"),
         did, F.lit(".example.org/p\r\nWARC-Date: 2024-01-02T03:04:06Z\r\n"
                    "Content-Length: "),
-        F.length(meta).cast("string"), F.lit("\r\n\r\n"), meta, F.lit("\r\n\r\n"),
+        F.length(F.encode(meta, "UTF-8")).cast("string"), F.lit("\r\n\r\n"), meta, F.lit("\r\n\r\n"),
     )
     return d.select(
         F.concat(F.lit("w"), did).alias("path"),
@@ -1001,7 +1001,7 @@ def q_pipeline_warc_wet(spark, sf):
         did, F.lit(".example.org/p\r\nWARC-Date: 2024-01-02T03:04:05Z\r\n"
                    "Content-Type: application/http; msgtype=response\r\n"
                    "Content-Length: "),
-        F.length(http).cast("string"), F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+        F.length(F.encode(http, "UTF-8")).cast("string"), F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
     )
     archives = d.select(
         F.concat(F.lit("w"), did).alias("path"),

@@ -122,6 +122,17 @@ def write_gpkg(
         F.max(lat_col).alias("max_y"),
     ).collect()[0]
 
+    # honest -overwrite: start from an empty file. Without this, stale
+    # layers from a previous export survive (only the target layer was
+    # dropped), a same-identifier layer aborts on the gpkg_contents UNIQUE
+    # constraint, and a non-SQLite file at path errors instead of being
+    # replaced.
+    import os as _os
+
+    try:
+        _os.unlink(path)
+    except FileNotFoundError:
+        pass
     con = sqlite3.connect(path)
     try:
         cur = con.cursor()

@@ -67,6 +67,12 @@ def host_rank(
         .persist()
     )
     n = nodes.count()  # scalar metadata action (host count, never URL data)
+    if n == 0:
+        # empty graph (e.g. a single-host batch whose links are all
+        # self-edges) → empty ranks, not a ZeroDivisionError
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select("host", F.lit(0).cast("long").alias("rank"))
     u = scale // n
     base = ((100 - damping_pct) * u) // 100
     deg = e.groupBy("src").agg(F.count("*").alias("_outdeg"))
@@ -117,11 +123,15 @@ def rank_priorities(
 ) -> DataFrame:
     """(host, rank) → (host, rank_priority): ascending scheduler priority by
     FIXED thresholds relative to the uniform mass u = scale // count(hosts) —
-    priority 0 for rank >= 2^(levels-1)·u down to priority levels-1 below u.
+    priority 0 for rank >= 2^(levels-2)·u, halving per level down to u
+    (priority levels-2), below u ⇒ priority levels-1. (For levels=4:
+    4u / 2u / u cut points — pinned by test_rank_priorities.)
     Threshold-based (not quantile-based) on purpose: no global sort, pure
     projection after one metadata count, and a host's tier is stable as the
     graph grows."""
     n = ranks.count()
+    if n == 0:
+        return ranks.select("host", F.lit(0).cast("int").alias("rank_priority"))
     u = scale // n
     # built inside-out so the HIGHEST threshold is tested first
     pr = F.lit(levels - 1)

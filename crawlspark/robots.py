@@ -52,7 +52,7 @@ def parse_robots_txt(
     record yield an empty prefix array and NULL delay.
     """
     ua = user_agent.lower()
-    lines = F.split(F.col(body_col), "\n")
+    lines = F.split(F.col(body_col), "\r?\n")  # CRLF bodies are the common case
 
     acc0 = F.struct(
         F.lit(False).alias("active"),
@@ -138,7 +138,7 @@ def robots_sitemaps(
     only shuffle-relevant op is the explode, which is the desired output
     grain.
     """
-    lines = F.split(F.col(body_col), "\n")
+    lines = F.split(F.col(body_col), "\r?\n")  # CRLF-safe (see parse_robots_txt)
 
     def extract(raw):
         line = F.trim(F.element_at(F.split(raw, "#", 2), 1))

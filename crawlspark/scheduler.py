@@ -450,6 +450,10 @@ class Crawler:
             traps = url_trap_signals(
                 base.select(F.col("curl").alias("url"), F.col("chost").alias("host"))
             ).select(F.col("host").alias("chost"), "trap")
+            # the persisted batch must stay reachable for the end-of-round
+            # unpersist — rebinding `base` to the (un-cached) join would
+            # leak one batch cache per round
+            _pins.append(base)
             base = base.join(traps, "chost", "left")
             budget = F.when(
                 F.coalesce(F.col("trap"), F.lit(False)),

@@ -95,7 +95,12 @@ def sitemap_frontier(
     timestamp subset; unparseable → NULL). Host stays NULL — the scheduler's
     ``enrich`` derives the canonical host exactly as it does for outlink
     discoveries."""
-    p = F.coalesce(F.col("priority"), F.lit(default_priority))
+    # clamp to the protocol's [0.0, 1.0]: a malformed '<priority>9.9</...' must
+    # not map to a negative scheduler priority that outranks every seed
+    p = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(1.0), F.coalesce(F.col("priority"), F.lit(default_priority))),
+    )
     return parsed.filter(F.col("kind") == "url").select(
         F.col("loc").alias("url"),
         F.lit(None).cast("string").alias("host"),

@@ -118,6 +118,13 @@ def _walk_warc(src: str, data: bytes) -> Iterator[tuple]:
             yield (src, idx, None, None, None, None, None, None,
                    "missing/invalid Content-Length")
             return
+        if clen < 0:
+            # a negative length would move the cursor BACKWARDS onto this
+            # record's own magic — the walk would re-yield it forever (one
+            # malicious archive = a task that never terminates)
+            yield (src, idx, None, None, None, None, None, None,
+                   f"negative Content-Length ({clen})")
+            return
         block = data[hdr_end + 4:hdr_end + 4 + clen]
         if len(block) < clen:
             yield (src, idx, None, None, None, None, None, None,

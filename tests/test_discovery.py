@@ -350,3 +350,32 @@ def test_host_graph_from_pages_composes_with_rank(spark):
     )
     got = frontier_with_rank(fr, prios).collect()[0]
     assert got["priority"] == tiers[hub]
+
+
+def test_sitemap_priority_clamped(spark):
+    """Malformed priorities outside [0,1] clamp to the protocol range — a
+    hostile sitemap cannot mint a priority that outranks every seed."""
+    from crawlspark.sitemap import parse_sitemap, sitemap_frontier
+
+    body = ("<urlset><url><loc>https://e.org/a</loc>"
+            "<priority>9.9</priority></url>"
+            "<url><loc>https://e.org/b</loc>"
+            "<priority>-5</priority></url></urlset>")
+    df = spark.createDataFrame([("e.org", body)], ["host", "body"])
+    got = {r["url"][-1]: r["priority"]
+           for r in sitemap_frontier(parse_sitemap(df), 0).collect()}
+    assert got == {"a": 0, "b": 10}
+
+
+def test_host_rank_empty_graph(spark):
+    """Single-host batches produce an empty edge frame — empty ranks and
+    tiers, never a ZeroDivisionError."""
+    from crawlspark.hostrank import host_graph_from_pages, host_rank, rank_priorities
+
+    pages = spark.createDataFrame(
+        [('<a href="/self">s</a>', "https://only.org/p")], ["payload", "url"]
+    )
+    g = host_graph_from_pages(pages)
+    ranks = host_rank(g)
+    assert ranks.count() == 0
+    assert rank_priorities(ranks).count() == 0

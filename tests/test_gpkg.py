@@ -141,3 +141,34 @@ def test_units_to_gpkg_script_parity(spark, tmp_path):
         assert rows[1][0] is None  # unparsable longitude → NULL geometry
     finally:
         con.close()
+
+
+def test_write_gpkg_true_overwrite(spark, tmp_path):
+    """-overwrite semantics: a pre-existing file (stale layer or garbage
+    bytes) is replaced wholesale, not merged into."""
+    import sqlite3
+
+    from pyspark.sql import functions as F
+
+    from crawlspark.gpkg import write_gpkg
+
+    path = str(tmp_path / "out.gpkg")
+    df_a = spark.range(2).select(
+        F.col("id").cast("double").alias("lon"),
+        F.col("id").cast("double").alias("lat"),
+        F.col("id").cast("string").alias("name"),
+    )
+    write_gpkg(df_a, path, layer="layer_a")
+    write_gpkg(df_a, path, layer="layer_b")
+    con = sqlite3.connect(path)
+    layers = {r[0] for r in con.execute("SELECT table_name FROM gpkg_contents")}
+    con.close()
+    assert layers == {"layer_b"}  # layer_a did not survive the overwrite
+
+    with open(path, "wb") as f:
+        f.write(b"not a database")
+    write_gpkg(df_a, path, layer="layer_c")  # must not raise
+    con = sqlite3.connect(path)
+    layers = {r[0] for r in con.execute("SELECT table_name FROM gpkg_contents")}
+    con.close()
+    assert layers == {"layer_c"}

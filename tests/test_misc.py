@@ -486,3 +486,18 @@ def test_change_rates_and_recrawl_tiers(spark):
     }
     assert got["u_dup"]["observations"] == 2
     assert got["u_dup"]["intervals"] == 1 and got["u_dup"]["changes"] == 0
+
+
+def test_robots_crlf_bodies(spark):
+    """CRLF robots.txt (the common served form) must parse identically to
+    LF: no '\\r' tails on prefixes, delays, or sitemap URLs."""
+    from crawlspark.robots import parse_robots_txt, robots_sitemaps
+
+    body = ("User-agent: *\r\nDisallow: /x\r\nCrawl-delay: 2.5\r\n"
+            "Sitemap: https://a.org/s.xml\r\n")
+    df = spark.createDataFrame([("a.org", body)], ["host", "body"])
+    r = parse_robots_txt(df).collect()[0]
+    assert r["disallow_prefixes"] == ["/x"]
+    assert r["crawl_delay_s"] == 2.5
+    sm = robots_sitemaps(df).collect()
+    assert [x["sitemap_url"] for x in sm] == ["https://a.org/s.xml"]

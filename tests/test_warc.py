@@ -81,3 +81,41 @@ def test_parse_warc_spark_and_pages(spark):
     assert bytes(got["https://a.org/1"]["html"]) == b"<html>1</html>"
     ts = got["https://b.org/2"]["warc_ts"]
     assert (ts.year, ts.month, ts.day) == (2024, 3, 5)
+
+
+def test_negative_content_length_quarantined():
+    """A negative Content-Length must quarantine, not walk backwards onto
+    the record's own magic and loop forever (review finding, round 5)."""
+    from crawlspark.warc import _walk_warc
+
+    raw = (b"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: -54\r\n\r\n"
+           b"payload\r\n\r\n")
+    rows = list(_walk_warc("src", raw))
+    assert len(rows) == 1
+    assert "negative Content-Length" in rows[0][-1]
+
+
+def test_non_ascii_payload_framing(spark):
+    """Content-Length framed as BYTES of the UTF-8 encoding: non-ASCII
+    payloads must survive the walk intact (char-count framing truncates)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.warc import parse_warc
+
+    body = "café élève"  # 10 chars, 13 utf-8 bytes
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\n\r\n"), F.lit(body)
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: https://x.org/p\r\nContent-Length: "),
+        F.length(F.encode(http, "UTF-8")).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+    )
+    df = spark.range(1).select(
+        F.lit("a").alias("path"), F.encode(rec, "UTF-8").alias("content")
+    )
+    rows = parse_warc(df).collect()
+    assert len(rows) == 1 and rows[0]["error"] is None
+    assert bytes(rows[0]["payload"]) == body.encode("utf-8")
+    assert rows[0]["http_status"] == 200
