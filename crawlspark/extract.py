@@ -165,7 +165,7 @@ def parse_abcd(
     the 2.06 or 2.1 TDWG namespace URI wins; anything else ⇒ None (the
     reference's AbcdVersion::Unknown).
     """
-    whitelist: dict[bytes, FieldSpec] = {f.name.encode(): f for f in fields}
+    whitelist: dict[bytes, FieldSpec] = fields.byte_whitelist
     path = bytearray()
     values: dict[str, object] = {}
     dataset_data: dict | None = None

@@ -50,6 +50,16 @@ class AbcdFields:
     def __init__(self, fields: list[FieldSpec]):
         self._fields = fields
         self._by_name = {f.name: f for f in fields}
+        self._byte_whitelist: dict | None = None
+
+    @property
+    def byte_whitelist(self) -> dict:
+        """{encoded name: spec}, built lazily ONCE per instance — the parse
+        loop runs per ZIP member, and rebuilding this dict (encoding every
+        field name) per call was measurable hot-path waste."""
+        if self._byte_whitelist is None:
+            self._byte_whitelist = {f.name.encode(): f for f in self._fields}
+        return self._byte_whitelist
 
     @classmethod
     def from_path(cls, path: str | Path) -> "AbcdFields":

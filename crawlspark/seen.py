@@ -508,6 +508,14 @@ def split_new_vs_seen(
     shuffle/bucket key; the string equality is a post-join filter.
     """
     if url_col is None:
+        # CONTRACT: the auto-resolved column must hold CANONICAL urls — the
+        # seen table stores canonical forms (schemas.SEEN), so confirming a
+        # RAW spelling against it fails the string equality and re-crawls an
+        # already-seen URL with a duplicate surrogate key. 'curl' (the
+        # enrich output) always satisfies this; a bare 'url' fallback is
+        # kept for batches whose url column is canonical by construction —
+        # callers holding raw urls must enrich first or pass url_col
+        # explicitly.
         url_col = "curl" if "curl" in batch.columns else (
             "url" if "url" in batch.columns and "url" in seen.columns else None
         )
@@ -695,6 +703,7 @@ def rank_and_key(
     fetched_col: str = "is_fetched",
     key_offset: int = 0,
     keep: list | None = None,
+    small_threshold: int = 100_000,
 ) -> DataFrame:
     """Fused global numbering: one range shuffle produces BOTH the crawl-order
     ``seq`` (dense over all rows) and the dense ``surrogate_key`` over the
@@ -702,10 +711,38 @@ def rank_and_key(
 
     Same exactness/skew properties as dense_rank_range; halves the per-round
     shuffle + plan-compile cost of the two separate rankings.
+
+    ADAPTIVE like dense_rank_range, but with a LOWER default threshold: the
+    input is persisted and counted (a job the range path pays anyway via its
+    sampling pass); at or under ``small_threshold`` rows both numberings run
+    in one single-partition window — the 4-job range machinery costs seconds
+    of pure scheduling per crawl round on small/local batches. The threshold
+    is deliberately far below dense_rank_range's 2M: rank_and_key sits on
+    the PER-ROUND crawl hot path, and a single-task sort of a bench-scale
+    800k-row batch would serialize the round at high core counts (Amdahl).
+    Both paths produce identical output (pinned by test_seen).
     """
     oc = [F.col(c).asc() for c in order_cols]
+    fint0 = F.col(fetched_col).cast("long")
+    src = df.persist()
+    if keep is not None:
+        keep.append(src)
+    if src.count() <= small_threshold:
+        w_small = Window.orderBy(*oc)
+        return (
+            src.withColumn("seq", F.row_number().over(w_small).cast("long"))
+            .withColumn("_frn", F.sum(fint0).over(w_small))
+            .withColumn(
+                "surrogate_key",
+                F.when(
+                    F.col(fetched_col),
+                    (F.col("_frn") + F.lit(key_offset)).cast("long"),
+                ),
+            )
+            .drop("_frn")
+        )
     d = (
-        df.repartitionByRange(*oc)
+        src.repartitionByRange(*oc)
         .sortWithinPartitions(*oc)
         .withColumn("_pid", F.spark_partition_id())
         .persist()

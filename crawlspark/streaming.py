@@ -9,8 +9,10 @@ seen set with ``foreachBatch`` micro-batches that reuse the exact batch-round
 primitives — one code path for both execution modes.
 
 Scale notes: the stream stays incremental — each micro-batch touches only new
-files; the seen-set confirm is the same bloom-routed anti-join; checkpointing
-is Spark's own (offsets) plus the engine warehouse commit per batch.
+files; the seen-set confirm takes the same bucket-routed prefilter probe as
+the batch rounds whenever the warehouse carries a filter state table (exact
+join otherwise); checkpointing is Spark's own (offsets) plus the engine
+warehouse commit per batch.
 """
 
 from __future__ import annotations
@@ -79,10 +81,28 @@ def discovered_urls_stream(
     robots: DataFrame,
     checkpoint_dir: str,
     out_table: str = "discovered",
+    filter_table: str | None = "bloom",
+    bloom_buckets: int = 32,
 ):
     """Continuously ingest frontier drops → canonical, robots-filtered,
     unseen urls appended to the warehouse (micro-batch via foreachBatch so
-    the batch primitives — enrich/anti-join/commit — are reused verbatim)."""
+    the batch primitives — enrich/anti-join/commit — are reused verbatim).
+
+    Dedup is against BOTH the persistent seen set and every previously
+    committed ``out_table`` append (a URL arriving in two drops lands once;
+    the stream never writes 'seen', so the prior-appends anti-join is what
+    makes the output-unique property hold across micro-batches). When the
+    warehouse carries a prefilter state table (``filter_table``, written by
+    the batch crawl loop), the seen confirm takes the same bucket-routed
+    probe as the batch rounds; without one it falls back to the exact join
+    (streaming-only deployments with an empty seen set pay nothing).
+
+    A ``commit_round`` returning False is checked against the manifest: a
+    redelivered batch whose round already carries ``out_table`` is the
+    documented idempotent no-op; anything else means another committer
+    consumed this stream's round number and the batch FAILS LOUDLY (Spark
+    surfaces the error and does not mark the batch done) instead of
+    silently dropping its discoveries."""
     stream = frontier_stream(spark, input_dir)
     # commits are keyed on batch_id offset by a PERSISTED per-checkpoint
     # epoch (warehouse.stream_epoch): a micro-batch redelivered on retry OR
@@ -104,6 +124,11 @@ def discovered_urls_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         seen = warehouse.read_state(spark, "seen", schemas.SEEN)
+        bloom = (
+            warehouse.read_state(spark, filter_table)
+            if filter_table and warehouse.has_table(filter_table)
+            else None
+        )
         b = enrich(batch_df)
         rb = robots.select("host", "disallow_prefixes")
         b = b.join(F.broadcast(rb), b["chost"] == rb["host"], "left").drop(rb["host"])
@@ -113,15 +138,37 @@ def discovered_urls_stream(
                 F.lit(False),
             )
         )
-        b = split_new_vs_seen(b, seen, None).filter(~F.col("is_seen"))
+        b = split_new_vs_seen(
+            b, seen, bloom, bloom_buckets=bloom_buckets
+        ).filter(~F.col("is_seen"))
+        # cross-batch dedup: URLs already committed by EARLIER micro-batches
+        # (the stream never folds its output into 'seen')
+        if warehouse.has_table(out_table):
+            prior = warehouse.read_appends(spark, out_table).select("url_hash")
+            b = b.join(prior, "url_hash", "left_anti")
         out = b.select(
             "url", "curl", "url_hash", "chost", "priority", "warc_ts",
             F.lit(batch_id).alias("batch_id"),
         ).dropDuplicates(["url_hash"])
         # append via the warehouse so batch and streaming share the commit path
-        warehouse.commit_round(
-            _base_round() + int(batch_id) + 1, appends={out_table: out}
-        )
+        round_ = _base_round() + int(batch_id) + 1
+        if not warehouse.commit_round(round_, appends={out_table: out}):
+            t = warehouse.manifest()["tables"].get(out_table, {})
+            if round_ in t.get("rounds", []):
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "stream batch %d -> round %d already committed "
+                    "(redelivery no-op)", batch_id, round_,
+                )
+            else:
+                raise RuntimeError(
+                    f"stream batch {batch_id} maps to round {round_}, which "
+                    f"another committer already consumed WITHOUT this "
+                    f"stream's {out_table!r} append — refusing to silently "
+                    f"drop the batch (re-base the stream epoch or namespace "
+                    f"committers)"
+                )
 
     return (
         stream.writeStream.foreachBatch(process)
