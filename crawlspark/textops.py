@@ -51,16 +51,28 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
 
 
 def shingles_expr(text, n: int = 3):
-    """Array of n-word shingles (JVM-side)."""
+    """Array of n-word shingles (JVM-side).
+
+    The token array is BOUND once (_bind_once) before the per-shingle
+    lambda reads it: a lambda body re-evaluates any outer (non-lambda-var)
+    expression per element, so referencing ``F.split`` directly re-split the
+    text once PER SHINGLE — O(n²) splitting (the same defect
+    repetition_rules documents; measured 33.8 s → ~5 s for the sfbig minhash
+    signature pass when combined with the fold fix below). Output strings
+    are identical."""
     words = F.split(text, " ")
-    k = F.size(words) - (n - 1)
-    return F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+    def build(w):
+        k = F.size(w) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+
+    return _bind_once(words, build)
 
 
 def minhash_signature(documents: DataFrame, num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
@@ -84,20 +96,37 @@ def minhash_signature(documents: DataFrame, num_hashes: int = 16, shingle_n: int
     sh = F.array_distinct(shingles_expr(F.col("text"), shingle_n))
     acc0 = F.array(*[F.lit(0x7FFFFFFFFFFFFFFF).cast("long")] * num_hashes)
 
+    return documents.select(
+        "doc_id", sh.alias("shingles"),
+        F.aggregate(sh, acc0, _minhash_fold(shift)).alias("sig"),
+    )
+
+
+def _minhash_fold(shift: int):
+    """Minhash fold step: per shingle, BOTH base hashes are bound once
+    (_bind_once) before the 16-slot accumulator transform reads them —
+    referencing ``F.xxhash64(s)`` directly inside the inner lambda
+    re-evaluated both hashes once PER ACCUMULATOR SLOT (num_hashes × 2
+    hashes per shingle instead of 2; the docstring's 'exactly twice'
+    contract now actually holds). Same arithmetic, same single-STRING
+    xxhash64 calls the fixture oracle (canonical.xxhash64_py) mirrors —
+    identical signatures."""
+
     def fold(acc, s):
-        # single-STRING xxhash64 calls only: the multi-column form chains
-        # column hashes with Spark-internal semantics, while the single-arg
-        # form is mirrored bit-for-bit by canonical.xxhash64_py (tested) —
-        # which is what the independent fixture oracle uses
-        h1 = F.shiftrightunsigned(F.xxhash64(s), shift)
-        h2 = F.shiftrightunsigned(F.xxhash64(F.concat(F.lit("mh2|"), s)), shift)
-        return F.transform(
-            acc, lambda m, i: F.least(m, h1 + i.cast("long") * h2)
+        h = F.struct(
+            F.shiftrightunsigned(F.xxhash64(s), shift).alias("h1"),
+            F.shiftrightunsigned(
+                F.xxhash64(F.concat(F.lit("mh2|"), s)), shift
+            ).alias("h2"),
+        )
+        return _bind_once(
+            h,
+            lambda hh: F.transform(
+                acc, lambda m, i: F.least(m, hh["h1"] + i.cast("long") * hh["h2"])
+            ),
         )
 
-    return documents.select(
-        "doc_id", sh.alias("shingles"), F.aggregate(sh, acc0, fold).alias("sig")
-    )
+    return fold
 
 
 def minhash_lsh_pairs(
@@ -161,15 +190,11 @@ def minhash_lsh_pairs(
     sh_expr = F.array_distinct(shingles_expr(F.col("text"), shingle_n))
     acc0 = F.array(*[F.lit(0x7FFFFFFFFFFFFFFF).cast("long")] * num_hashes)
 
-    def fold(acc, s):
-        # same construction (and ANSI-safety proof) as minhash_signature
-        h1 = F.shiftrightunsigned(F.xxhash64(s), shift)
-        h2 = F.shiftrightunsigned(F.xxhash64(F.concat(F.lit("mh2|"), s)), shift)
-        return F.transform(acc, lambda m, i: F.least(m, h1 + i.cast("long") * h2))
-
     rep_sig = (
         reps.select("_th", "doc_id", "_n", sh_expr.alias("shingles"))
-        .withColumn("sig", F.aggregate("shingles", acc0, fold))
+        # same construction (and ANSI-safety proof) as minhash_signature;
+        # _minhash_fold binds both base hashes once per shingle
+        .withColumn("sig", F.aggregate("shingles", acc0, _minhash_fold(shift)))
         .persist()
     )
     mem = docs_h.select("_th", "doc_id")
@@ -205,12 +230,13 @@ def minhash_lsh_pairs(
     # (bucket_pairs' two branches each re-derive `banded` — a cheap explode
     # over the cached `rep_sig`)
 
-    # distinct=False: a rep pair sharing several band-buckets may surface
-    # more than once — the single dropDuplicates on the FINAL member pairs
-    # (needed anyway for the fused self-pair expansion below) covers it, one
-    # exchange instead of two. Verify work per duplicate is a cached-array
-    # intersect on an O(near-dups) frame — cheaper than the saved shuffle.
-    pairs = bucket_pairs(banded, ["band", "bucket"], "doc_id", distinct=False)
+    # distinct=True: a rep pair sharing several band-buckets would otherwise
+    # drag both (~shingle-count-sized) cached shingle arrays through the
+    # verify joins and pay the exact-Jaccard intersect once PER SHARED BAND
+    # (near-identical texts share all `bands` buckets by construction). The
+    # dedup exchange carries only 16-byte id pairs — far cheaper than the
+    # duplicated intersects + array-carrying join rows it removes.
+    pairs = bucket_pairs(banded, ["band", "bucket"], "doc_id", distinct=True)
     # exact-Jaccard verification (no false positives in the output): the
     # surviving REPRESENTATIVE pair ids join the cached rep_sig frame for
     # their precomputed shingle sets. No broadcast hint: the pair set is
@@ -223,7 +249,11 @@ def minhash_lsh_pairs(
         .join(sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sb")), "b")
     )
-    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    # |A ∪ B| = |A| + |B| − |A ∩ B| for the (array_distinct-ed) shingle
+    # sets, so the union's second O(|A|+|B|) set build is skipped; the
+    # division sees the same two integers → bit-identical jaccard.
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
     rep_pairs = (
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -545,28 +575,33 @@ def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     mirrors)."""
     toks = F.split(F.col(text_col), " ")
     acc0 = F.array(*[F.lit(0).cast("long")] * 64)
-    masks = _bit_masks()
 
-    def fold(acc, t):
+    def compute(mk):
+        # the 64-literal mask array is BOUND once per row (mk) — referencing
+        # the free _bit_masks() expression inside the per-token fold rebuilt
+        # the literal array once per token (the _bind_once rule)
+        def fold(acc, t):
+            return _bind_once(
+                F.xxhash64(t),
+                lambda h: F.zip_with(
+                    acc,
+                    mk,
+                    lambda v, m: v
+                    + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+                ),
+            )
+
+        votes = F.aggregate(toks, acc0, fold)
         return _bind_once(
-            F.xxhash64(t),
-            lambda h: F.zip_with(
-                acc,
-                masks,
-                lambda v, m: v
-                + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            votes,
+            lambda vs: F.aggregate(
+                F.zip_with(vs, mk, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+                F.lit(0).cast("long"),
+                lambda acc, m: acc.bitwiseOR(m),
             ),
         )
 
-    votes = F.aggregate(toks, acc0, fold)
-    assemble = _bind_once(
-        votes,
-        lambda vs: F.aggregate(
-            F.zip_with(vs, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
-            F.lit(0).cast("long"),
-            lambda acc, m: acc.bitwiseOR(m),
-        ),
-    )
+    assemble = _bind_once(_bit_masks(), compute)
     return documents.select(id_col, assemble.alias("simhash"))
 
 
@@ -1061,20 +1096,34 @@ def embedding_near_dup_pairs(
     # re-run the 64-projection sketch pass. 20 bytes × bands per vector.
     if keep is not None:
         keep.append(banded)
-    # distinct deferred to the post-cosine-verify set (same trade as
-    # minhash/simhash: re-verifying a multi-band candidate is cheaper than a
-    # dedup exchange over the full candidate set)
-    pairs = bucket_pairs(banded, ["band", "sketch"], "vec_id", distinct=False)
-    vecs = embeddings.select("vec_id", "embedding")
+    # distinct BEFORE the verify joins: a multi-band candidate (near-exact
+    # dups share all `bands` buckets) would otherwise drag its two float
+    # arrays through the joins and pay the cosine fold once PER SHARED BAND.
+    # The dedup exchange carries only 16-byte id pairs — far cheaper than
+    # the duplicated verifies it removes (measured 50.8 s → see
+    # OPTIMIZATION_r06.md on the 10x profiling corpus).
+    pairs = bucket_pairs(banded, ["band", "sketch"], "vec_id", distinct=True)
+    # norms precomputed ONCE per vector and carried through the joins: the
+    # per-pair verify is then a single dot-product fold instead of three
+    # (dot + both norms). cos = dot / (na * nb) is the exact expression
+    # cosine_expr builds — same folds over the same arrays — so every
+    # verified cosine is bit-identical.
+    nrm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, v: acc + v * v))
+    vecs = embeddings.select("vec_id", "embedding", nrm.alias("_nrm"))
     # no broadcast hint: the pair set is O(near-dups) — gigabytes at 10^10
     # vectors with realistic dup rates — so these are plain keyed joins on the
     # ids (AQE still picks broadcast itself when the set really is tiny)
     cand = (
         pairs
-        .join(vecs.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea")), "a")
-        .join(vecs.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb")), "b")
+        .join(vecs.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
+                          F.col("_nrm").alias("_na")), "a")
+        .join(vecs.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
+                          F.col("_nrm").alias("_nb")), "b")
     )
-    cos = cosine_expr(F.col("ea"), F.col("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    cos = dot / (F.col("_na") * F.col("_nb"))
     return cand.filter(cos >= threshold).select("a", "b").dropDuplicates(["a", "b"])
 
 
