@@ -63,7 +63,29 @@ _DOT_RULES: list[tuple[str, str]] = [
 # Spark expression
 # ---------------------------------------------------------------------------
 
+def _bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` once and feed it to ``fn`` as a lambda variable
+    (textops._bind_once twin, kept local so the foundational module stays
+    import-cycle-free). Catalyst evaluates every textual occurrence of a
+    column expression independently — inside higher-order-function lambdas
+    there is no codegen subexpression elimination at all — so a multi-
+    reference intermediate must be routed through a 1-element array
+    transform to be computed exactly once."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def _percent_normalize_expr(url: Column) -> Column:
+    # guard: a URL with no '%' cannot be changed by percent-normalization
+    # (split yields one piece, the tail transform is empty) — skip the
+    # split/slice/transform machinery for the overwhelmingly common case.
+    # CASE WHEN evaluates the expensive branch lazily per row; output is
+    # identical by construction.
+    return F.when(
+        url.contains("%"), _percent_normalize_full(url)
+    ).otherwise(url)
+
+
+def _percent_normalize_full(url: Column) -> Column:
     parts = F.split(url, "%", -1)
     head = F.element_at(parts, 1)
     tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
@@ -85,34 +107,90 @@ def _percent_normalize_expr(url: Column) -> Column:
 
 
 def _remove_dot_segments_expr(path: Column) -> Column:
+    # guard: every _DOT_RULES pattern requires the substring "/." somewhere
+    # in the path (/./ , /.$ , /seg/../ , ^/.. all contain it), so a path
+    # without "/." is a fixpoint of the whole 6×6 regex chain — skip the 36
+    # regexp_replace passes for it (the overwhelmingly common case; the
+    # chain dominated canonicalize_expr's per-URL cost). Identical output:
+    # regexp_replace without a match returns its input unchanged.
+    out = path
     for _ in range(DOT_PASSES):
         for pat, rep in _DOT_RULES:
-            path = F.regexp_replace(path, pat, rep)
-    return path
+            out = F.regexp_replace(out, pat, rep)
+    return F.when(path.contains("/."), out).otherwise(path)
 
 
 def canonicalize_expr(url: Column) -> Column:
-    """Canonical form of a URL column — pure Spark SQL, no UDF."""
-    u = F.trim(url)
-    u = F.substring_index(u, "#", 1)              # strip fragment
-    u = _percent_normalize_expr(u)
+    """Canonical form of a URL column — pure Spark SQL, no UDF.
 
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
-    authority = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
-    pathq = F.substr(rest, F.length(authority) + 1, F.length(rest))
+    Every multi-reference intermediate (percent-normalized url, rest,
+    authority, pathq, path) is BOUND once via ``_bind_once`` before its
+    consumers read it: the naive formulation flattened the expression DAG
+    to a tree, so e.g. each of the ~9 textual references to ``authority``
+    re-ran regexp_extract(rest,..) → regexp_replace(u,..) → the whole
+    percent-normalize chain — a multiplicative blowup that dominated
+    per-URL cost, especially inside per-link transform lambdas (no codegen
+    CSE there). Same operations, same values, evaluated once each."""
+    u0 = _percent_normalize_expr(F.substring_index(F.trim(url), "#", 1))
 
-    authority = F.when(scheme == "http", F.regexp_replace(authority, ":80$", "")).otherwise(authority)
-    authority = F.when(scheme == "https", F.regexp_replace(authority, ":443$", "")).otherwise(authority)
+    # outermost bind covers the WHEN(has_scheme, ...) guard's second read of u
+    return F.element_at(
+        F.transform(
+            F.array(u0),
+            lambda u: _bind_once(
+                F.struct(
+                    u.alias("u"),
+                    F.lower(
+                        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+                    ).alias("scheme"),
+                    F.regexp_replace(
+                        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", ""
+                    ).alias("rest"),
+                ),
+                lambda s1: F.when(
+                    s1["u"].rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"),
+                    _canon_tail(s1),
+                ).otherwise(s1["u"]),
+            ),
+        ),
+        1,
+    )
 
-    path = F.substring_index(pathq, "?", 1)
-    query = F.substr(pathq, F.length(path) + 1, F.length(pathq))  # '' or '?...'
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    path = _remove_dot_segments_expr(path)
 
-    has_scheme = u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
-    canon = F.concat(scheme, F.lit("://"), authority, path, query)
-    return F.when(has_scheme, canon).otherwise(u)
+def _canon_tail(s1) -> Column:
+    """scheme+authority+path+query assembly over the bound (u, scheme, rest)
+    struct — each level binds its intermediate once (see canonicalize_expr)."""
+    auth_raw = F.lower(F.regexp_extract(s1["rest"], r"^([^/?]*)", 1))
+
+    def with_auth(a):
+        scheme = s1["scheme"]
+        authority = F.when(
+            scheme == "http", F.regexp_replace(a, ":80$", "")
+        ).otherwise(a)
+        authority = F.when(
+            scheme == "https", F.regexp_replace(authority, ":443$", "")
+        ).otherwise(authority)
+        pathq = F.substr(s1["rest"], F.length(a) + 1, F.length(s1["rest"]))
+        s2 = F.struct(authority.alias("authority"), pathq.alias("pathq"))
+
+        def with_pq(p2):
+            path0 = F.substring_index(p2["pathq"], "?", 1)
+
+            def with_path0(p0):
+                query = F.substr(
+                    p2["pathq"], F.length(p0) + 1, F.length(p2["pathq"])
+                )
+                path1 = F.when(p0 == "", F.lit("/")).otherwise(p0)
+                path = _bind_once(path1, _remove_dot_segments_expr)
+                return F.concat(
+                    s1["scheme"], F.lit("://"), p2["authority"], path, query
+                )
+
+            return _bind_once(path0, with_path0)
+
+        return _bind_once(s2, with_pq)
+
+    return _bind_once(auth_raw, with_auth)
 
 
 def url_hash_expr(canonical_url: Column) -> Column:
@@ -345,10 +423,20 @@ def url_trap_signals(
     n_params = F.when(query.isNull() | (F.length(query) == 0), F.lit(0)).otherwise(
         (F.length(query) - F.length(F.replace(query, F.lit("&"), F.lit("")))) + 1
     ).cast("long")
+    from .textops import _bind_once
+
     segs = F.filter(F.split(path, "/"), lambda s: F.length(s) > 0)
+    # the segment array is bound once before the per-segment lambda reads it:
+    # referencing `segs` free inside the transform lambda re-ran the
+    # split+filter once per segment (the _bind_once rule)
     seg_repeat = F.coalesce(
         F.array_max(
-            F.transform(segs, lambda s: F.size(F.filter(segs, lambda x: x == s)))
+            _bind_once(
+                segs,
+                lambda sg: F.transform(
+                    sg, lambda s: F.size(F.filter(sg, lambda x: x == s))
+                ),
+            )
         ),
         F.lit(0),
     ).cast("long")
