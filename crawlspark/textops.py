@@ -1832,22 +1832,30 @@ def lm_likelihood(documents: DataFrame, scale: int = 10**9) -> DataFrame:
         .select("doc_id", "bg.w1", "bg.w2")
         .persist()
     )
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c1 = Σ_w2 c2 derives from the already-aggregated c2 (one combinable
+    # pass over the distinct-bigram frame instead of a second pass over raw
+    # occurrences), and the per-bigram likelihood TERM is assembled on the
+    # aggregated frames (c2 ⋈ c1, both distinct-bigram-sized) BEFORE the
+    # occurrence probe — the occurrence-cardinality frame is shuffled ONCE
+    # (the terms join) instead of twice (the former ⋈c2 then ⋈c1 chain).
+    # Same integer term per (w1, w2), same per-occurrence sum — identical.
     c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = toks.select(F.explode("w").alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
-    lik = (
-        bigrams.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
+    terms = (
+        c2.join(c1, ["w1"])
         .crossJoin(F.broadcast(vocab))
         .select(
-            "doc_id",
+            "w1", "w2",
             F.expr(f"(c2 + 1) * CAST({scale} AS BIGINT) div (c1 + v)").alias("lik"),
         )
     )
-    agg = lik.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"), F.sum("lik").alias("s")
+    agg = (
+        bigrams.join(terms, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lik").alias("s"))
     )
     return documents.select("doc_id").join(agg, "doc_id", "left").select(
         "doc_id",
