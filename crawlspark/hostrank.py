@@ -76,28 +76,38 @@ def host_rank(
     u = scale // n
     base = ((100 - damping_pct) * u) // 100
     deg = e.groupBy("src").agg(F.count("*").alias("_outdeg"))
+    # the STATIC out-degree is folded into the rank state once (seed join
+    # below) and carried through every iteration, instead of re-joining
+    # ranks ⋈ deg per iteration — one fewer join (and its per-iteration
+    # broadcast build job) per step; rank arithmetic is unchanged, so the
+    # fixed-point longs are bit-identical
+    node_deg = (
+        nodes.join(deg, nodes["host"] == deg["src"], "left")
+        .select("host", "_outdeg")
+        .persist()
+    )
 
-    ranks = nodes.select("host", F.lit(u).cast("long").alias("rank"))
+    ranks = node_deg.select("host", "_outdeg", F.lit(u).cast("long").alias("rank"))
     if checkpoint:
         ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iterations):
-        r_deg = ranks.join(deg, ranks["host"] == deg["src"], "left")
         contribs = (
-            r_deg.filter(F.col("_outdeg").isNotNull())
+            ranks.filter(F.col("_outdeg").isNotNull())
             .select("host", F.expr("rank DIV _outdeg").alias("_c"))
             .join(e, F.col("host") == e["src"])
             .select(F.col("dst").alias("host"), "_c")
         )
         inflow = contribs.groupBy("host").agg(F.sum("_c").alias("_in"))
         dangling = (
-            r_deg.filter(F.col("_outdeg").isNull())
+            ranks.filter(F.col("_outdeg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("_dang"))
         )
         new_ranks = (
-            nodes.join(inflow, "host", "left")
+            node_deg.join(inflow, "host", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "host",
+                "_outdeg",
                 (
                     F.lit(base).cast("long")
                     + F.expr(
@@ -115,7 +125,8 @@ def host_rank(
         ranks = new_ranks
     e.unpersist()
     nodes.unpersist()
-    return ranks
+    node_deg.unpersist()
+    return ranks.select("host", "rank")
 
 
 def rank_priorities(

@@ -564,45 +564,53 @@ def line_dedup(
 
 
 def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document, fully JVM-side and SHUFFLE-FREE: one
-    aggregate fold over the token array accumulates all 64 bit votes in an
-    array accumulator (1 xxhash64 per token via _bind_once — Spark gives HOF
-    columns no subexpression elimination), then the sign votes assemble into
-    the hash by OR-ing bit masks. Round 3 exploded tokens through a 64-sum
-    groupBy — a full shuffle of every token row (~100× the document count);
-    this is a pure projection with identical output (integer vote sums are
-    order-independent; same single-string xxhash64 the fixture oracle
-    mirrors)."""
-    toks = F.split(F.col(text_col), " ")
-    acc0 = F.array(*[F.lit(0).cast("long")] * 64)
+    """64-bit SimHash per document, fully JVM-side: tokens are exploded and
+    all 64 bit votes run as COMPILED sum aggregates in one whole-stage-
+    codegen hash aggregation (1 xxhash64 per token, projected once below
+    the aggregate).
 
-    def compute(mk):
-        # the 64-literal mask array is BOUND once per row (mk) — referencing
-        # the free _bit_masks() expression inside the per-token fold rebuilt
-        # the literal array once per token (the _bind_once rule)
-        def fold(acc, t):
-            return _bind_once(
-                F.xxhash64(t),
-                lambda h: F.zip_with(
-                    acc,
-                    mk,
-                    lambda v, m: v
-                    + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
-                ),
-            )
-
-        votes = F.aggregate(toks, acc0, fold)
-        return _bind_once(
-            votes,
-            lambda vs: F.aggregate(
-                F.zip_with(vs, mk, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
-                F.lit(0).cast("long"),
-                lambda acc, m: acc.bitwiseOR(m),
-            ),
+    Why not the shuffle-free HOF fold (rounds 3-5): higher-order-function
+    lambdas are interpreted expression-by-expression — the 64-lane vote
+    fold cost ~320 interpreted evals per token and dominated the query.
+    The explode+groupBy shape runs the same arithmetic in codegen
+    (A/B-measured 11.1 s → 1.6-2.8 s on the 10x profiling corpus, identical
+    hashes). The one exchange it adds is DOC-count-sized, not token-sized:
+    partial aggregation collapses each document's votes map-side, so the
+    shuffle carries one 64-long vote row per document — the same order of
+    bytes as the operator's own output. Integer vote sums are order-
+    independent, so the hash is bit-identical at any parallelism (same
+    single-string xxhash64 the fixture oracle mirrors); a NULL text yields
+    a NULL simhash exactly like the fold did."""
+    mk = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    toks = documents.select(
+        id_col,
+        F.explode_outer(F.split(F.col(text_col), " ")).alias("_t"),
+    )
+    # NULL text → one NULL-token row → NULL hash (xxhash64(NULL) would be
+    # the seed, so the hash is nulled explicitly); real tokens are never NULL
+    h = toks.select(
+        id_col,
+        F.when(F.col("_t").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.xxhash64("_t")).alias("_h"),
+    )
+    sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("_h").isNull(), F.lit(None).cast("int"))
+                .when(F.col("_h").bitwiseAND(F.lit(m).cast("long")) != 0, 1)
+                .otherwise(-1)
+            ).alias(f"_v{i}")
+            for i, m in enumerate(mk)
+        ]
+    )
+    out = None
+    for i, m in enumerate(mk):
+        term = F.when(F.col(f"_v{i}") > 0, F.lit(m).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-
-    assemble = _bind_once(_bit_masks(), compute)
-    return documents.select(id_col, assemble.alias("simhash"))
+        out = term if out is None else out.bitwiseOR(term)
+    hash_expr = F.when(F.col("_v0").isNull(), F.lit(None).cast("long")).otherwise(out)
+    return sums.select(id_col, hash_expr.alias("simhash"))
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
