@@ -101,45 +101,59 @@ def xml_events(data: bytes):
     """
     n = len(data)
     i = 0
+    find = data.find  # bound method: this loop is the extraction hot path
     while i < n:
-        j = data.find(b"<", i)
+        j = find(b"<", i)
         if j < 0:
             break
         if j > i:
             text = data[i:j].strip(_WS)
             if text:
                 yield ("text", text, b"")
-        if data.startswith(b"<!--", j):
-            k = data.find(b"-->", j + 4)
-            i = n if k < 0 else k + 3
-        elif data.startswith(b"<![CDATA[", j):
-            k = data.find(b"]]>", j + 9)
-            i = n if k < 0 else k + 3
-        elif data.startswith(b"<!", j):
-            k = data.find(b">", j + 2)
-            i = n if k < 0 else k + 1
-        elif data.startswith(b"<?", j):
-            k = data.find(b"?>", j + 2)
-            i = n if k < 0 else k + 2
-        elif data.startswith(b"</", j):
-            k = data.find(b">", j + 2)
+        # single-character dispatch on the byte after '<' (replaces five
+        # chained startswith probes per tag — same classification: '/'⇒end,
+        # '!'⇒comment/CDATA/DOCTYPE, '?'⇒PI, else start tag; an EOF '<' has
+        # c == b'' and falls through to the start branch's find/break
+        # exactly like the startswith chain did)
+        c = data[j + 1 : j + 2]
+        if c == b"/":
+            k = find(b">", j + 2)
             if k < 0:
                 break
-            name = data[j + 2:k].strip(_WS)
-            yield ("end", _strip_ns(name), b"")
+            name = data[j + 2 : k].strip(_WS)
+            ci = name.find(b":")
+            if ci >= 0:  # namespace strip (abcd_parser.rs:174-179), inlined
+                name = name[ci + 1 :]
+            yield ("end", name, b"")
             i = k + 1
+        elif c == b"!":
+            if data.startswith(b"<!--", j):
+                k = find(b"-->", j + 4)
+                i = n if k < 0 else k + 3
+            elif data.startswith(b"<![CDATA[", j):
+                k = find(b"]]>", j + 9)
+                i = n if k < 0 else k + 3
+            else:
+                k = find(b">", j + 2)
+                i = n if k < 0 else k + 1
+        elif c == b"?":
+            k = find(b"?>", j + 2)
+            i = n if k < 0 else k + 2
         else:
-            k = data.find(b">", j + 1)
+            k = find(b">", j + 1)
             if k < 0:
                 break
-            inner = data[j + 1:k]
+            inner = data[j + 1 : k]
             if inner.endswith(b"/"):
                 i = k + 1  # self-closing == quick-xml Event::Empty, ignored
                 continue
             parts = inner.split(None, 1)
             name = parts[0] if parts else inner
             attrs = parts[1] if len(parts) > 1 else b""
-            yield ("start", _strip_ns(name), attrs)
+            ci = name.find(b":")
+            if ci >= 0:
+                name = name[ci + 1 :]
+            yield ("start", name, attrs)
             i = k + 1
     # trailing text after the last tag is ignored (EOF)
 
@@ -176,7 +190,11 @@ def parse_abcd(
         if kind == "start":
             path += b"/"
             path += payload
-            if bytes(path) == b"/DataSets":
+            lp = len(path)
+            # length pre-checks keep the per-event bytes(path) conversion off
+            # the common case (only two path depths can match); identical
+            # comparisons otherwise
+            if lp == 9 and bytes(path) == b"/DataSets":
                 for v in attr_values(attrs):
                     if v == b"http://www.tdwg.org/schemas/abcd/2.06":
                         abcd_version = "2.06"
@@ -184,14 +202,16 @@ def parse_abcd(
                     if v == b"http://www.tdwg.org/schemas/abcd/2.1":
                         abcd_version = "2.1"
                         break
-            elif bytes(path) == b"/DataSets/DataSet/Units":
+            elif lp == 23 and bytes(path) == b"/DataSets/DataSet/Units":
                 dataset_data = dict(values)
                 values.clear()
         elif kind == "end":
             # reference truncates by the END tag's stripped length + 1
             # (abcd_parser.rs:91-98), trusting well-formed nesting
             del path[max(0, len(path) - len(payload) - 1):]
-            if bytes(path) == b"/DataSets/DataSet/Units" and payload == b"Unit":
+            # payload check FIRST (cheap) so the bytes(path) conversion only
+            # runs on </Unit> ends — the conjunction is unchanged
+            if payload == b"Unit" and bytes(path) == b"/DataSets/DataSet/Units":
                 units.append(dict(values))
                 values.clear()
         else:  # text
