@@ -976,17 +976,43 @@ def ann_ivf_topk(
             ),
         )
 
-    # deterministic argmax (strict >: first-listed centroid wins score ties)
-    def assign_expr(vec):
-        best = F.aggregate(
-            cell_scores(vec),
-            F.struct(F.lit(float("-inf")).alias("score"), F.lit(-1).alias("c")),
-            lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
+    # corpus-side list assignment via posexplode + COMPILED sum aggregates
+    # (the _banded_sketch_sums shape — the interpreted dims×nlist HOF fold
+    # was the assignment pass's cost; rounds 3-5 used a per-row aggregate
+    # argmax over cell_scores). Same ascending-dim f64 fold order
+    # (posexplode order + one partial per group), same score expression
+    # dot/|centroid|, and the argmax keeps the fold's tie rule: the maximum
+    # wins and among equal scores the FIRST-listed centroid (equality picks
+    # the earliest match; Spark orders NaN largest on both paths). The
+    # centroid table stays a driver-side literal dim; the one exchange +
+    # vec-keyed join added are vector-count-sized. cell_scores remains the
+    # single-row/query-side form used by the probe branch below.
+    ex = embeddings.select("vec_id", F.posexplode("embedding").alias("_i", "_v"))
+    dots_tab = ex.groupBy("vec_id").agg(
+        *[
+            F.sum(
+                F.col("_v")
+                * F.element_at(
+                    F.array(*[F.lit(cents[c][i]) for i in range(dims)]),
+                    F.col("_i") + 1,
+                )
+            ).alias(f"_d{j}")
+            for j, c in enumerate(cent_ids)
+        ]
+    )
+    score_cols = [
+        (F.col(f"_d{j}") / F.lit(cnorm[c])) for j, c in enumerate(cent_ids)
+    ]
+    mx = F.greatest(*score_cols) if len(score_cols) > 1 else score_cols[0]
+    pick = None
+    for j, c in enumerate(cent_ids):
+        pick = (
+            F.when(score_cols[j] == mx, F.lit(c))
+            if pick is None
+            else pick.when(score_cols[j] == mx, F.lit(c))
         )
-        return best["c"]
-
-    assigned = embeddings.select(
-        "vec_id", "embedding", assign_expr(F.col("embedding")).alias("list_id")
+    assigned = embeddings.select("vec_id", "embedding").join(
+        dots_tab.select("vec_id", pick.alias("list_id")), "vec_id"
     )
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qvec")
