@@ -114,6 +114,11 @@ def write_gpkg(
                 f"{f_.dataType.simpleString()!r}; cast or drop it first"
             )
 
+    # persisted so the envelope aggregate and the feature iteration below
+    # see the SAME rows — on a non-deterministic source two separate actions
+    # could otherwise write a gpkg_contents envelope inconsistent with the
+    # features (round-5 advice)
+    df = df.persist()
     # envelope: one executor-side aggregate (metadata-sized result)
     env = df.agg(
         F.min(lon_col).alias("min_x"),
@@ -165,12 +170,18 @@ def write_gpkg(
                 ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
             ],
         )
-        cur.execute(f'DROP TABLE IF EXISTS "{layer}"')
+        # identifier quoting: embedded double quotes are doubled (the SQLite
+        # escape), so a layer/column name containing '"' cannot break out of
+        # the quoted identifier (round-5 advice)
+        def _q(name: str) -> str:
+            return '"' + name.replace('"', '""') + '"'
+
+        cur.execute(f"DROP TABLE IF EXISTS {_q(layer)}")
         col_defs = ", ".join(
-            f'"{f_.name}" {_SQLITE_TYPE[f_.dataType.simpleString()]}' for f_ in attrs
+            f"{_q(f_.name)} {_SQLITE_TYPE[f_.dataType.simpleString()]}" for f_ in attrs
         )
         cur.execute(
-            f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, '
+            f"CREATE TABLE {_q(layer)} (fid INTEGER PRIMARY KEY AUTOINCREMENT, "
             f"geom POINT{', ' + col_defs if col_defs else ''})"
         )
         cur.execute(
@@ -187,8 +198,8 @@ def write_gpkg(
 
         names = [f_.name for f_ in attrs]
         ins = (
-            f'INSERT INTO "{layer}" (geom'
-            + "".join(f', "{n}"' for n in names)
+            f"INSERT INTO {_q(layer)} (geom"
+            + "".join(f", {_q(n)}" for n in names)
             + ") VALUES (?" + ",?" * len(names) + ")"
         )
         n = 0
@@ -211,6 +222,7 @@ def write_gpkg(
         return n
     finally:
         con.close()
+        df.unpersist()
 
 
 def units_to_gpkg(

@@ -849,11 +849,24 @@ def kmeans_centroids(
     import math
 
     sample = sorted(sample)  # vec_id order — fold order pinned
+    if len(sample) < nlist:
+        raise ValueError(
+            f"kmeans_centroids: training sample has {len(sample)} vectors but "
+            f"nlist={nlist} — supply at least nlist sample vectors (raise "
+            "train_n or lower nlist)"
+        )
     cents: dict[int, list[float]] = {
         c: [float(x) for x in sample[c][1]] for c in range(nlist)
     }
     for _ in range(iters):
         norm = {c: math.sqrt(sum(x * x for x in cents[c])) for c in cents}
+        zero = [c for c in cents if norm[c] == 0.0]
+        if zero:
+            raise ValueError(
+                f"kmeans_centroids: centroid(s) {zero} are all-zero (degenerate "
+                "training sample) — the dot/|centroid| assignment score is "
+                "undefined for a zero centroid"
+            )
         sums: dict[int, list[float]] = {c: [0.0] * len(cents[c]) for c in cents}
         counts = {c: 0 for c in cents}
         for _vid, vec in sample:
