@@ -142,17 +142,38 @@ def discovered_urls_stream(
             b, seen, bloom, bloom_buckets=bloom_buckets
         ).filter(~F.col("is_seen"))
         # cross-batch dedup: URLs already committed by EARLIER micro-batches
-        # (the stream never folds its output into 'seen')
-        if warehouse.has_table(out_table):
+        # (the stream never folds its output into 'seen'). The committed
+        # hashes live in a compact SNAPSHOT table maintained alongside the
+        # appends — one hash-only state read per batch instead of re-reading
+        # and unioning EVERY historical append (which grew the per-batch
+        # anti-join plan linearly with stream lifetime — round-5 advice).
+        # Falls back to the appends union exactly once for warehouses from
+        # before this table existed, then snapshots it forward.
+        hashes_table = f"{out_table}_url_hashes"
+        if warehouse.has_table(hashes_table):
+            prior = warehouse.read_state(spark, hashes_table).select("url_hash")
+        elif warehouse.has_table(out_table):
             prior = warehouse.read_appends(spark, out_table).select("url_hash")
+        else:
+            prior = None
+        if prior is not None:
             b = b.join(prior, "url_hash", "left_anti")
         out = b.select(
             "url", "curl", "url_hash", "chost", "priority", "warc_ts",
             F.lit(batch_id).alias("batch_id"),
-        ).dropDuplicates(["url_hash"])
+        ).dropDuplicates(["url_hash"]).persist()
+        # ^ persisted: the append write and the hash-snapshot union both read
+        # it inside one commit wave
+        new_hashes = out.select("url_hash")
+        if prior is not None:
+            new_hashes = prior.unionByName(new_hashes)
         # append via the warehouse so batch and streaming share the commit path
         round_ = _base_round() + int(batch_id) + 1
-        if not warehouse.commit_round(round_, appends={out_table: out}):
+        committed = warehouse.commit_round(
+            round_, appends={out_table: out}, snapshots={hashes_table: new_hashes}
+        )
+        out.unpersist()
+        if not committed:
             t = warehouse.manifest()["tables"].get(out_table, {})
             if round_ in t.get("rounds", []):
                 import logging
