@@ -186,15 +186,85 @@ def parse_abcd(
     units: list[dict] = []
     abcd_version: str | None = None
 
-    for kind, payload, attrs in xml_events(xml_bytes):
-        if kind == "start":
+    # The xml_events scan loop is INLINED here (extraction is the crawl's
+    # dominant Python cost; the generator's per-event resume + tuple
+    # allocation was ~30% of parse time). Event order, classification and
+    # state transitions are identical to driving xml_events — pinned by
+    # tests/test_extract.py::test_parse_abcd_matches_event_driven, which
+    # runs this function against an xml_events-driven mirror over the
+    # tricky-input battery. xml_events itself remains the public parity
+    # surface.
+    data = xml_bytes
+    n = len(data)
+    i = 0
+    find = data.find
+    while i < n:
+        j = find(b"<", i)
+        if j < 0:
+            break
+        if j > i:
+            text = data[i:j].strip(_WS)
+            if text:
+                spec = whitelist.get(bytes(path))
+                if spec is not None:
+                    s = text.decode("utf-8", errors="replace")
+                    if spec.numeric:
+                        v = parse_f64(s)
+                        if v is not None:
+                            values[spec.name] = v
+                    else:
+                        values[spec.name] = s
+        c = data[j + 1 : j + 2]
+        if c == b"/":
+            k = find(b">", j + 2)
+            if k < 0:
+                break
+            name = data[j + 2 : k].strip(_WS)
+            ci = name.find(b":")
+            if ci >= 0:
+                name = name[ci + 1 :]
+            # reference truncates by the END tag's stripped length + 1
+            # (abcd_parser.rs:91-98), trusting well-formed nesting
+            del path[max(0, len(path) - len(name) - 1):]
+            # name check FIRST (cheap) so the bytes(path) conversion only
+            # runs on </Unit> ends — the conjunction is unchanged
+            if name == b"Unit" and bytes(path) == b"/DataSets/DataSet/Units":
+                units.append(dict(values))
+                values.clear()
+            i = k + 1
+        elif c == b"!":
+            if data.startswith(b"<!--", j):
+                k = find(b"-->", j + 4)
+                i = n if k < 0 else k + 3
+            elif data.startswith(b"<![CDATA[", j):
+                k = find(b"]]>", j + 9)
+                i = n if k < 0 else k + 3
+            else:
+                k = find(b">", j + 2)
+                i = n if k < 0 else k + 1
+        elif c == b"?":
+            k = find(b"?>", j + 2)
+            i = n if k < 0 else k + 2
+        else:
+            k = find(b">", j + 1)
+            if k < 0:
+                break
+            inner = data[j + 1 : k]
+            if inner.endswith(b"/"):
+                i = k + 1  # self-closing == quick-xml Event::Empty, ignored
+                continue
+            parts = inner.split(None, 1)
+            name = parts[0] if parts else inner
+            ci = name.find(b":")
+            if ci >= 0:
+                name = name[ci + 1 :]
             path += b"/"
-            path += payload
+            path += name
             lp = len(path)
-            # length pre-checks keep the per-event bytes(path) conversion off
-            # the common case (only two path depths can match); identical
-            # comparisons otherwise
+            # length pre-checks keep the per-event bytes(path) conversion
+            # off the common case (only two path depths can match)
             if lp == 9 and bytes(path) == b"/DataSets":
+                attrs = parts[1] if len(parts) > 1 else b""
                 for v in attr_values(attrs):
                     if v == b"http://www.tdwg.org/schemas/abcd/2.06":
                         abcd_version = "2.06"
@@ -205,25 +275,7 @@ def parse_abcd(
             elif lp == 23 and bytes(path) == b"/DataSets/DataSet/Units":
                 dataset_data = dict(values)
                 values.clear()
-        elif kind == "end":
-            # reference truncates by the END tag's stripped length + 1
-            # (abcd_parser.rs:91-98), trusting well-formed nesting
-            del path[max(0, len(path) - len(payload) - 1):]
-            # payload check FIRST (cheap) so the bytes(path) conversion only
-            # runs on </Unit> ends — the conjunction is unchanged
-            if payload == b"Unit" and bytes(path) == b"/DataSets/DataSet/Units":
-                units.append(dict(values))
-                values.clear()
-        else:  # text
-            spec = whitelist.get(bytes(path))
-            if spec is not None:
-                s = payload.decode("utf-8", errors="replace")
-                if spec.numeric:
-                    v = parse_f64(s)
-                    if v is not None:
-                        values[spec.name] = v
-                else:
-                    values[spec.name] = s
+            i = k + 1
 
     if dataset_data is None:
         raise ParseError("ABCD file contains no dataset metadata.")

@@ -233,3 +233,88 @@ def test_abcd_version_column_through_spark(spark):
     # (synth plants ~1% non-ABCD members → error rows with version NULL)
     assert {("dataset", "2.06"), ("unit", "2.06")} <= got
     assert got - {("error", None)} == {("dataset", "2.06"), ("unit", "2.06")}
+
+
+def test_parse_abcd_matches_event_driven():
+    """The inlined scan loop inside parse_abcd (round-6 optimization) must
+    behave exactly like driving xml_events: this mirror implements the
+    documented parse semantics ON TOP of xml_events and is compared against
+    parse_abcd over a battery of tricky inputs (mismatched end tags, CDATA,
+    comments, PIs, self-closing tags, namespaces, attr sniffs, truncated
+    tails, whitespace-only text, escaped entities)."""
+    from crawlspark.extract import ParseError, attr_values
+    from crawlspark.rustcompat import parse_f64
+
+    fields = AbcdFields.from_list(GOLDEN_SPEC)
+
+    def parse_via_events(xml_bytes: bytes, proposal: str):
+        whitelist = fields.byte_whitelist
+        path = bytearray()
+        values, units = {}, []
+        dataset_data = None
+        version = None
+        for kind, payload, attrs in xml_events(xml_bytes):
+            if kind == "start":
+                path += b"/"
+                path += payload
+                if bytes(path) == b"/DataSets":
+                    for v in attr_values(attrs):
+                        if v == b"http://www.tdwg.org/schemas/abcd/2.06":
+                            version = "2.06"
+                            break
+                        if v == b"http://www.tdwg.org/schemas/abcd/2.1":
+                            version = "2.1"
+                            break
+                elif bytes(path) == b"/DataSets/DataSet/Units":
+                    dataset_data = dict(values)
+                    values.clear()
+            elif kind == "end":
+                del path[max(0, len(path) - len(payload) - 1):]
+                if bytes(path) == b"/DataSets/DataSet/Units" and payload == b"Unit":
+                    units.append(dict(values))
+                    values.clear()
+            else:
+                spec = whitelist.get(bytes(path))
+                if spec is not None:
+                    s = payload.decode("utf-8", errors="replace")
+                    if spec.numeric:
+                        v = parse_f64(s)
+                        if v is not None:
+                            values[spec.name] = v
+                    else:
+                        values[spec.name] = s
+        if dataset_data is None:
+            raise ParseError("ABCD file contains no dataset metadata.")
+        lp = dataset_data.get(LANDING_PAGE_FIELD)
+        landing = lp if isinstance(lp, str) else proposal
+        return dataset_data, units, landing, version
+
+    tricky = [
+        golden_xml(),
+        b"<DataSets><DataSet><Units><Unit><x>1</x></Unit></Units></DataSet></DataSets>",
+        # mismatched end tag exercises the length-truncation (not stack-pop) rule
+        b"<DataSets><DataSet><Units><Unit><aaa>v</bb></Unit></Units></DataSet></DataSets>",
+        b"<DataSets version='x'><DataSet><Units></Units></DataSet></DataSets>",
+        b'<DataSets a="http://www.tdwg.org/schemas/abcd/2.1"><DataSet><Units/>'
+        b"<Units></Units></DataSet></DataSets>",
+        b"<!-- c --><?pi?><DataSets><![CDATA[zap]]><DataSet><Units></Units>"
+        b"</DataSet></DataSets>",
+        b"<DataSets><DataSet><Units></Units></DataSet></DataSets> trailing",
+        b"<DataSets><DataSet><Units></Units></DataSet></DataSets><broken",
+        b"<DataSets><DataSet><Units><Unit>  \t\r\n  </Unit></Units></DataSet></DataSets>",
+        b"no tags at all",
+        b"<DataSets><DataSet><Units><Unit><ns:y xmlns:ns='u'>&amp;X</ns:y>"
+        b"</Unit></Units></DataSet></DataSets>",
+    ]
+    for xml in tricky:
+        try:
+            a = parse_abcd(fields, LANDING_PAGE_FIELD, xml, "prop")
+            a_err = None
+        except ParseError as e:
+            a, a_err = None, str(e)
+        try:
+            b = parse_via_events(xml, "prop")
+            b_err = None
+        except ParseError as e:
+            b, b_err = None, str(e)
+        assert a == b and a_err == b_err, xml
