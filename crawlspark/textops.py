@@ -447,11 +447,17 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .groupBy("x")
             .agg(F.min("ylab").alias("nlab"))
         )
+        # the per-round change flag RIDES THE STEP's own left join
+        # (new != old ⟺ the neighbor minimum strictly improved the label),
+        # so the fixpoint test below is a filter+count over the checkpointed
+        # frame instead of a full new⋈old self-join — one join + exchange
+        # fewer per round, identical rounds and labels
         return lbls.join(nbr_min, lbls["node"] == nbr_min["x"], "left").select(
             "node",
             F.least(F.col("label"), F.coalesce(F.col("nlab"), F.col("label"))).alias(
                 "label"
             ),
+            (F.coalesce(F.col("nlab"), F.col("label")) < F.col("label")).alias("_chg"),
         )
 
     changed = -1
@@ -464,13 +470,8 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         # the driver round count)
         new_labels = step(labels).localCheckpoint(eager=False)
         # lazy checkpoint: the fixpoint count below materializes it
-        # (1 job/round)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # (1 job/round); the _chg flag column rides the checkpoint
+        changed = new_labels.filter(F.col("_chg")).count()
         # the count materialized new_labels' checkpoint; the superseded
         # round's blocks can go (otherwise one checkpoint per round
         # accumulates for the session lifetime in a long-running driver)
