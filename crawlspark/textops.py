@@ -495,15 +495,6 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     )
 
 
-def _bit_masks():
-    # bit-i mask as a SIGNED long literal (bit 63 = Long.MIN_VALUE); bitwise
-    # AND/OR over two's-complement longs is mask semantics regardless of
-    # sign. (Function, not module constant: F.lit needs a live SparkContext.)
-    return F.array(
-        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
-    )
-
-
 def line_dedup(
     documents: DataFrame, sep: str = ". ", min_docs: int = 2
 ) -> DataFrame:
